@@ -1,0 +1,331 @@
+"""Extraction kernels + hierarchy derivation — the heart of the DAG.
+
+Re-expresses the reference's per-document imperative parse loop
+(``scrapeCA.py:150-221`` parent resolution, ``scrapeECFR.py:530-837``
+definition state machine, ``scrapeECFR.py:1112-1172`` mention extraction)
+as:
+
+- **Arrow-batched pandas UDFs** for the regex kernels (shared with the
+  oracle via ``rules.py`` — no drift, no per-row Python through Spark's
+  row UDF path);
+- **window functions** for everything stateful: parent-by-rank resolution
+  is "nearest preceding strictly-higher-ranked row", i.e. a greatest-by-
+  position over per-rank running ``last(..., ignorenulls=True)`` columns —
+  the as-of-join shape SURVEY §2.3 ``join_hierarchy_rank`` calls for;
+  duplicate-id versioning is a ``row_number`` window (SURVEY §2.6
+  ``dedup_version``); the definitions scope flag and "current node" are
+  running ``last(..., ignorenulls=True)`` fills.
+
+All windows share one partitioning — ``conv_id`` ordered by ``ord`` — so
+Catalyst plans a single exchange for the whole stage. At 10^12 turns the
+per-conv window state is O(1) per row (running lasts), so hot conversations
+cost time, not memory; the expensive reassembly path is chunk-salted
+separately (see ``reassembly.py``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .. import rules
+from .reassembly import conv_root_col
+
+# ---------------------------------------------------------------------------
+# Arrow kernels (scalar pandas UDFs over rules.py)
+# ---------------------------------------------------------------------------
+
+_HIER_TYPE = T.StructType(
+    [
+        T.StructField("classifier", T.StringType()),
+        T.StructField("number", T.StringType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+_MENTIONS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("mention_text", T.StringType()),
+            T.StructField("corpus", T.StringType()),
+            T.StructField("raw_key", T.StringType()),
+            T.StructField("start", T.IntegerType()),
+        ]
+    )
+)
+_DEFS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("definition", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("incorporated_from", T.StringType()),
+        ]
+    )
+)
+
+
+@pandas_udf(_HIER_TYPE)
+def hierarchy_marker_udf(texts: pd.Series) -> pd.DataFrame:
+    """parse_hierarchy_marker over an Arrow batch → nullable struct."""
+    parsed = texts.map(rules.parse_hierarchy_marker)
+    return pd.DataFrame(
+        {
+            "classifier": parsed.map(lambda t: t[0] if t else None),
+            "number": parsed.map(lambda t: t[1] if t else None),
+            "name": parsed.map(lambda t: t[2] if t else None),
+        }
+    )
+
+
+@pandas_udf(T.BooleanType())
+def definitions_header_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(rules.is_definitions_header)
+
+
+@pandas_udf(_MENTIONS_TYPE)
+def mentions_udf(texts: pd.Series) -> pd.Series:
+    """Mention extraction (reference scrapeECFR.py:1112-1172) per batch."""
+    return texts.map(
+        lambda t: [
+            (m["mention_text"], m["corpus"], m["raw_key"], m["start"])
+            for m in rules.extract_mentions(t)
+        ]
+    )
+
+
+@pandas_udf(_DEFS_TYPE)
+def definitions_udf(texts: pd.Series, in_scope: pd.Series) -> pd.Series:
+    """Definition extraction (reference scrapeECFR.py:530-837) per batch."""
+    return pd.Series(
+        [
+            [
+                (d["term"], d["definition"], d["kind"], d["incorporated_from"])
+                for d in rules.extract_definitions(t, bool(s))
+            ]
+            for t, s in zip(texts, in_scope)
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy nodes via windows
+# ---------------------------------------------------------------------------
+
+_RANKED_LEVELS = sorted(rules.LEVEL_RANKS, key=rules.LEVEL_RANKS.get)
+
+
+def _versioned(raw_id_col: str, ord_col: str = "ord"):
+    """Duplicate-id versioning: rn=1 keeps the id, rn=n>1 appends ``-v_n``
+    in arrival (= turn) order — deterministic re-expression of the
+    reference's insert-collision retry loop (scrapingHelpers.py:61-115).
+
+    Partitioned by ``(conv_id, raw_id)``: node ids are conv-prefixed so this
+    is semantically per-raw-id, and hash(conv_id) already satisfies the
+    clustered distribution — no extra exchange, and the null (non-node) rows
+    spread across conversations instead of one global skew partition."""
+    w = Window.partitionBy("conv_id", raw_id_col).orderBy(ord_col)
+    rn = F.row_number().over(w)
+    return F.when(rn == 1, F.col(raw_id_col)).otherwise(
+        F.concat(F.col(raw_id_col), F.lit("-v_"), rn.cast("string"))
+    )
+
+
+def derive_nodes(ordered: DataFrame) -> DataFrame:
+    """Attach hierarchy-node columns to the ordered turns.
+
+    Adds: ``node_id`` (versioned, null for non-node turns), ``node_parent``,
+    ``level_classifier``, ``node_name``, ``node_status``, ``current_node``
+    (running scope node for every turn), ``in_defs_scope``.
+
+    Level-by-level construction: each level's full path id depends on the
+    nearest preceding higher-ranked node's *final (versioned)* id, exactly
+    like the oracle's parent stack — so the windows chain per level
+    (4 window stages, one shared exchange on ``conv_id``).
+    """
+    w = Window.partitionBy("conv_id").orderBy("ord")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+
+    df = (
+        ordered.withColumn("hier", hierarchy_marker_udf("clean_text"))
+        .withColumn("level_classifier", F.col("hier.classifier"))
+        .withColumn("level_number", F.col("hier.number"))
+        .withColumn("node_name", F.col("hier.name"))
+        .drop("hier")
+        .withColumn("root_id", conv_root_col(F.col("conv_id")))
+    )
+
+    # per-rank running (ord, id) of the most recent final node id
+    last_cols: list[str] = []
+    for level in _RANKED_LEVELS:
+        rank = rules.LEVEL_RANKS[level]
+        # parent = max-position among running lasts of strictly higher levels
+        higher = [F.col(c) for c in last_cols]
+        if higher:
+            parent = F.coalesce(F.greatest(*higher).getField("id") if len(higher) > 1
+                                else higher[0].getField("id"), F.col("root_id"))
+        else:
+            parent = F.col("root_id")
+        is_level = F.col("level_classifier") == level
+        raw_col, fin_col, last_col = f"_raw_{level}", f"_fin_{level}", f"_last_{level}"
+        df = df.withColumn(
+            raw_col,
+            F.when(
+                is_level,
+                F.concat(parent, F.lit(f"/{level}="), F.col("level_number")),
+            ),
+        )
+        df = df.withColumn(fin_col, F.when(is_level, _versioned(raw_col)))
+        df = df.withColumn(
+            last_col,
+            F.last(
+                F.when(is_level, F.struct(F.col("ord").alias("o"), F.col(fin_col).alias("id"))),
+                ignorenulls=True,
+            ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        last_cols.append(last_col)
+        _ = rank  # rank ordering is implicit in _RANKED_LEVELS iteration
+
+    node_id = F.coalesce(*[F.col(f"_fin_{lv}") for lv in _RANKED_LEVELS])
+    raw_id = F.coalesce(*[F.col(f"_raw_{lv}") for lv in _RANKED_LEVELS])
+    df = (
+        df.withColumn("node_id", node_id)
+        .withColumn("node_raw_id", raw_id)
+        .withColumn(
+            "node_parent",
+            F.when(
+                F.col("node_id").isNotNull(),
+                F.expr(
+                    "array_join(slice(split(node_raw_id,'/'),1,"
+                    "size(split(node_raw_id,'/'))-1),'/')"
+                ),
+            ),
+        )
+        .withColumn(
+            "node_status",
+            F.when(F.col("node_id").isNull(), F.lit(None)).otherwise(
+                F.when(F.lower("node_name").rlike(r"\[\s*reserved"), "reserved")
+                .when(F.lower("node_name").rlike(r"\brepealed\b"), "repealed")
+                .when(F.lower("node_name").rlike(r"\[\s*renumbered"), "renumbered")
+                .otherwise("valid")
+            ),
+        )
+        # current node scope for every turn (running last incl. current row)
+        .withColumn(
+            "current_node",
+            F.coalesce(
+                F.last("node_id", ignorenulls=True).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                F.col("root_id"),
+            ),
+        )
+        # definitions scope: opened by a Definitions. header, closed by any
+        # hierarchy node (reference scope semantics, scrapeECFR.py:301-351)
+        .withColumn("_defs_header", definitions_header_udf("clean_text"))
+        .withColumn(
+            "in_defs_scope",
+            F.coalesce(
+                F.last(
+                    F.when(F.col("node_id").isNotNull(), F.lit(False)).when(
+                        F.col("_defs_header"), F.lit(True)
+                    ),
+                    ignorenulls=True,
+                ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+                F.lit(False),
+            ),
+        )
+        .drop("_defs_header", *[f"_last_{lv}" for lv in _RANKED_LEVELS],
+              *[f"_fin_{lv}" for lv in _RANKED_LEVELS],
+              *[f"_raw_{lv}" for lv in _RANKED_LEVELS])
+    )
+    _ = w_prev  # parent resolution uses up-to-current lasts of higher levels only
+    return df
+
+
+def nodes_table(derived: DataFrame) -> DataFrame:
+    """Materialize the nodes table (reference CLAUDE.md:514-536 shape),
+    including one root node per conversation."""
+    node_rows = derived.filter(F.col("node_id").isNotNull()).select(
+        F.col("node_id"),
+        F.when(F.col("level_classifier") == "section", "content")
+        .otherwise("structure")
+        .alias("node_type"),
+        "level_classifier",
+        F.col("node_name").alias("name"),
+        F.col("node_parent").alias("parent"),
+        F.col("node_status").alias("status"),
+        "conv_id",
+        "turn_idx",
+        F.col("clean_text").alias("text"),
+    )
+    roots = (
+        derived.select("conv_id").distinct().select(
+            conv_root_col(F.col("conv_id")).alias("node_id"),
+            F.lit("structure").alias("node_type"),
+            F.lit("conv").alias("level_classifier"),
+            F.col("conv_id").alias("name"),
+            F.lit(None).cast("string").alias("parent"),
+            F.lit("valid").alias("status"),
+            "conv_id",
+            F.lit(None).cast("int").alias("turn_idx"),
+            F.lit(None).cast("string").alias("text"),
+        )
+    )
+    return node_rows.unionByName(roots)
+
+
+def extract_mentions(derived: DataFrame) -> DataFrame:
+    """Explode citation/URL mentions from non-node turns.
+
+    One row per mention: ``conv_id, turn_idx, current_node, mention_text,
+    corpus, raw_key`` (reference Reference rows, pydanticModels.py:169-189).
+    """
+    return (
+        derived.filter(F.col("node_id").isNull())
+        .select(
+            "conv_id",
+            "turn_idx",
+            "current_node",
+            F.explode(mentions_udf("clean_text")).alias("m"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "current_node",
+            F.col("m.mention_text").alias("mention_text"),
+            F.col("m.corpus").alias("corpus"),
+            F.col("m.raw_key").alias("raw_key"),
+        )
+    )
+
+
+def extract_definitions(derived: DataFrame) -> DataFrame:
+    """Explode definitions from non-node turns.
+
+    One row per definition: ``conv_id, turn_idx, current_node, term,
+    definition, kind, incorporated_from, term_id``.
+    """
+    return (
+        derived.filter(F.col("node_id").isNull())
+        .select(
+            "conv_id",
+            "turn_idx",
+            "current_node",
+            F.explode(definitions_udf("clean_text", "in_defs_scope")).alias("d"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "current_node",
+            F.col("d.term").alias("term"),
+            F.col("d.definition").alias("definition"),
+            F.col("d.kind").alias("kind"),
+            F.col("d.incorporated_from").alias("incorporated_from"),
+            F.concat(F.col("current_node"), F.lit("/term="), F.col("d.term")).alias(
+                "term_id"
+            ),
+        )
+    )

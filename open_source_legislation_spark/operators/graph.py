@@ -1,0 +1,110 @@
+"""Graph materialization + invariants.
+
+nodes/edges tables with the hierarchy encoded as edges (reference
+``CLAUDE.md:532-536``), order-sensitive children/siblings aggregates
+(reference phase-3 relationship update, ``CLAUDE.md:171-174``), and the
+reference's post-scrape SQL invariants (``CLAUDE.md:437-452``) as
+DataFrame checks returning violation frames instead of raising.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hierarchy_edges(nodes: DataFrame) -> DataFrame:
+    """(src=child, dst=parent, rel=child_of) — the parent pointer as edges."""
+    return nodes.filter(F.col("parent").isNotNull()).select(
+        F.col("node_id").alias("src"),
+        F.col("parent").alias("dst"),
+        F.lit("child_of").alias("rel"),
+    )
+
+
+def cites_edges(linked_mentions: DataFrame) -> DataFrame:
+    return linked_mentions.filter(F.col("entity_id").isNotNull()).select(
+        F.col("current_node").alias("src"),
+        F.col("entity_id").alias("dst"),
+        F.lit("cites").alias("rel"),
+    )
+
+
+def children_agg(nodes: DataFrame) -> DataFrame:
+    """parent → ordered child list (order-sensitive: sort by (turn_idx, id),
+    the node_order analog — SURVEY §2.5 agg_children_collect)."""
+    return (
+        nodes.filter(F.col("parent").isNotNull())
+        .groupBy(F.col("parent").alias("node_id"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.coalesce("turn_idx", F.lit(-1)).alias("o"),
+                            F.col("node_id").alias("id"),
+                        )
+                    )
+                ),
+                lambda s: s["id"],
+            ).alias("direct_children")
+        )
+    )
+
+
+def siblings_agg(nodes: DataFrame) -> DataFrame:
+    """node → ordered siblings (nodes sharing a parent, self removed —
+    reference CLAUDE.md:535)."""
+    ch = children_agg(nodes)
+    return (
+        nodes.filter(F.col("parent").isNotNull())
+        .select("node_id", "parent")
+        .join(ch.withColumnRenamed("node_id", "parent"), "parent")
+        .select(
+            "node_id",
+            F.array_remove("direct_children", F.col("node_id")).alias("siblings"),
+        )
+    )
+
+
+def incoming_references(edges: DataFrame) -> DataFrame:
+    """Reverse-edge aggregate (reference incoming_references,
+    pydanticModels.py:442): dst → list of citing srcs."""
+    return (
+        edges.filter(F.col("rel") == "cites")
+        .groupBy(F.col("dst").alias("node_id"))
+        .agg(F.array_sort(F.collect_set("src")).alias("incoming_references"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Invariants (reference CLAUDE.md:437-452) — each returns a violations frame
+# that must be empty; counts-by-level returns the sanity distribution.
+# --------------------------------------------------------------------------
+
+
+def orphan_nodes(nodes: DataFrame) -> DataFrame:
+    """Nodes whose parent id does not exist — the left-anti orphan check."""
+    ids = nodes.select(F.col("node_id").alias("_pid"))
+    return (
+        nodes.filter(F.col("parent").isNotNull())
+        .join(ids, F.col("parent") == F.col("_pid"), "left_anti")
+    )
+
+
+def null_parent_violations(nodes: DataFrame) -> DataFrame:
+    """Null parent is only legal for the per-conv root (corpus analog)."""
+    return nodes.filter(
+        F.col("parent").isNull() & (F.col("level_classifier") != "conv")
+    )
+
+
+def counts_by_level(nodes: DataFrame) -> DataFrame:
+    return nodes.groupBy("level_classifier").agg(F.count("*").alias("n")).orderBy(
+        "level_classifier"
+    )
+
+
+def counts_by_level_status(nodes: DataFrame) -> DataFrame:
+    """Validation cube (SURVEY §2.5 note: per-level × per-status counts)."""
+    return nodes.cube("level_classifier", "status").agg(F.count("*").alias("n"))

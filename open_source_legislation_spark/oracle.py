@@ -1,0 +1,236 @@
+"""Single-process pure-Python oracle — the executable spec.
+
+Re-implements the reference's extraction pipeline imperatively, per
+conversation, the way the reference processes one document at a time
+(reference ``src/1_SCRAPE_TEMPLATE/2_scrape_regular.py:33-146``,
+``scrapeECFR.py:239-368``): a running parent stack for hierarchy
+(scrapeCA.py:150-221 analog), a definitions-scope flag
+(scrapeECFR.py:530-560), mention extraction + the candidate-key linking
+ladder (pydanticModels.py:555-636), and duplicate-id versioning
+(scrapingHelpers.py:61-115).
+
+Shares ``rules.py`` with the Spark kernels for the low-level regex rules —
+the *structural* logic (ordering, parent resolution, scope, versioning,
+linking, connected components) is implemented independently here, so the
+P/R test is a real cross-check of the distributed DAG.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pandas as pd
+
+from . import rules
+
+
+def build_linking_index(entity_dict: pd.DataFrame) -> dict[str, str]:
+    """alias key → entity_id (first writer wins, stable by entity_id)."""
+    index: dict[str, str] = {}
+    for _, row in entity_dict.sort_values("entity_id").iterrows():
+        for alias in row["aliases"] or []:
+            index.setdefault(alias, row["entity_id"])
+    return index
+
+
+def link_raw_key(raw_key: str, index: dict[str, str]) -> str | None:
+    """Resolve via the ranked candidate ladder (lowest priority wins)."""
+    for _prio, key in sorted(rules.candidate_keys(raw_key)):
+        if key in index:
+            return index[key]
+    return None
+
+
+def run_oracle(
+    transcripts: pd.DataFrame,
+    entity_dict: pd.DataFrame,
+) -> dict[str, pd.DataFrame]:
+    """Run the full per-conversation extraction spec.
+
+    Returns dict with ``nodes``, ``triples`` (subj, pred, obj, conv_id,
+    turn_idx), and ``turns`` (deduped, ordered, cleaned — the per-turn
+    invariant surface).
+    """
+    index = build_linking_index(entity_dict)
+
+    # stable order + first-writer-wins dedup of (conv_id, turn_idx)
+    # (reference dedup_skip, scrapingHelpers.py:110-114)
+    df = transcripts.sort_values(
+        ["conv_id", "turn_idx", "ts", "text"], kind="mergesort"
+    ).drop_duplicates(subset=["conv_id", "turn_idx"], keep="first")
+
+    nodes_rows: list[dict] = []
+    triple_rows: list[dict] = []
+    turn_rows: list[dict] = []
+
+    for conv_id, conv in df.groupby("conv_id", sort=True):
+        root = rules.conv_root_id(conv_id)
+        nodes_rows.append(
+            {
+                "node_id": root,
+                "node_type": "structure",
+                "level_classifier": "conv",
+                "name": conv_id,
+                "parent": None,
+                "status": "valid",
+                "conv_id": conv_id,
+                "turn_idx": None,
+                "text": None,
+            }
+        )
+        # running parent stack: list of (rank, node_id)
+        stack: list[tuple[int, str]] = []
+        current_node = root
+        in_defs = False
+        id_counts: dict[str, int] = defaultdict(int)
+
+        for _, row in conv.iterrows():
+            text = rules.clean_text(row["text"])
+            turn_rows.append(
+                {"conv_id": conv_id, "turn_idx": int(row["turn_idx"]), "clean_text": text}
+            )
+            hier = rules.parse_hierarchy_marker(text)
+            if hier is not None:
+                classifier, number, name = hier
+                rank = rules.LEVEL_RANKS[classifier]
+                while stack and stack[-1][0] >= rank:
+                    stack.pop()
+                parent = stack[-1][1] if stack else root
+                raw_id = rules.id_add_level(parent, classifier, number)
+                id_counts[raw_id] += 1
+                n = id_counts[raw_id]
+                node_id = raw_id if n == 1 else f"{raw_id}-v_{n}"
+                stack.append((rank, node_id))
+                current_node = node_id
+                in_defs = False
+                nodes_rows.append(
+                    {
+                        "node_id": node_id,
+                        "node_type": "content" if classifier == "section" else "structure",
+                        "level_classifier": classifier,
+                        "name": name,
+                        "parent": parent,
+                        "status": rules.node_status(name),
+                        "conv_id": conv_id,
+                        "turn_idx": int(row["turn_idx"]),
+                        "text": text,
+                    }
+                )
+                triple_rows.append(
+                    {
+                        "subj": node_id,
+                        "pred": "child_of",
+                        "obj": parent,
+                        "conv_id": conv_id,
+                        "turn_idx": int(row["turn_idx"]),
+                    }
+                )
+                if n > 1:
+                    triple_rows.append(
+                        {
+                            "subj": node_id,
+                            "pred": "alias_of",
+                            "obj": raw_id,
+                            "conv_id": conv_id,
+                            "turn_idx": int(row["turn_idx"]),
+                        }
+                    )
+                continue
+
+            if rules.is_definitions_header(text):
+                in_defs = True
+
+            # citation / URL mentions → cites triples (linked only;
+            # misses are metrics, not triples)
+            for mention in rules.extract_mentions(text):
+                entity = link_raw_key(mention["raw_key"], index)
+                if entity is not None:
+                    triple_rows.append(
+                        {
+                            "subj": current_node,
+                            "pred": "cites",
+                            "obj": entity,
+                            "conv_id": conv_id,
+                            "turn_idx": int(row["turn_idx"]),
+                        }
+                    )
+
+            # definitions → defined_as / defined_in_scope triples
+            for d in rules.extract_definitions(text, in_defs):
+                term_id = f"{current_node}/term={d['term']}"
+                if d["kind"] == "incorporated":
+                    src_mentions = rules.extract_mentions(d["incorporated_from"])
+                    obj = None
+                    if src_mentions:
+                        obj = link_raw_key(src_mentions[0]["raw_key"], index)
+                    if obj is None:
+                        obj = d["incorporated_from"]
+                    triple_rows.append(
+                        {
+                            "subj": term_id,
+                            "pred": "defined_in_scope",
+                            "obj": obj,
+                            "conv_id": conv_id,
+                            "turn_idx": int(row["turn_idx"]),
+                        }
+                    )
+                else:
+                    triple_rows.append(
+                        {
+                            "subj": term_id,
+                            "pred": "defined_as",
+                            "obj": d["definition"],
+                            "conv_id": conv_id,
+                            "turn_idx": int(row["turn_idx"]),
+                        }
+                    )
+                    triple_rows.append(
+                        {
+                            "subj": term_id,
+                            "pred": "defined_in_scope",
+                            "obj": current_node,
+                            "conv_id": conv_id,
+                            "turn_idx": int(row["turn_idx"]),
+                        }
+                    )
+
+    return {
+        "nodes": pd.DataFrame(nodes_rows),
+        "triples": pd.DataFrame(triple_rows),
+        "turns": pd.DataFrame(turn_rows),
+    }
+
+
+def connected_components(edges: pd.DataFrame) -> dict[str, str]:
+    """Union-find over alias edges → member → min-id canonical label.
+
+    Spec for the iterative DataFrame CC in ``operators/canonicalize.py``
+    (reference behavior: version tags + link aliases tie duplicates to one
+    canonical node, scrapingHelpers.py:94-98, pydanticModels.py:555-636).
+    """
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: str, b: str) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+
+    for _, row in edges.iterrows():
+        union(row["src"], row["dst"])
+    return {x: find(x) for x in list(parent)}
+
+
+def precision_recall(
+    got: set[tuple[str, str, str]], expected: set[tuple[str, str, str]]
+) -> tuple[float, float]:
+    if not got or not expected:
+        return (0.0, 0.0)
+    tp = len(got & expected)
+    return tp / len(got), tp / len(expected)
