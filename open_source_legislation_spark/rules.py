@@ -245,7 +245,7 @@ _RE_QUOTED_DEF = re.compile(
 )
 _RE_EMPH_DEF = re.compile(r"^([A-Z][A-Za-z][A-Za-z0-9 \-]{0,60}?)\.\s+(.{3,})$")
 _RE_INCORP = re.compile(
-    r"[“\"]([^”\"]{1,80})[”\"][^.“\"]{0,80}?\bas defined in\s+([^.;]+)"
+    r"[“\"]([^”\"]{1,80})[”\"][^“\"]{0,80}?\bas defined in\s+(.+?)\s*[.;]?\s*$"
 )
 
 # Terms are normalized to lowercase before keying — reference lowercases

@@ -1,0 +1,88 @@
+"""Graph materialization + the reference's SQL invariants
+(reference CLAUDE.md:437-452) as DataFrame assertions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_legislation_spark.operators import extract, graph, reassembly
+from open_source_legislation_spark.plans.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def result(spark, transcripts_df, entity_dict_df):
+    return run_pipeline(spark, transcripts_df, entity_dict_df)
+
+
+def test_no_orphans(result):
+    assert graph.orphan_nodes(result.nodes).count() == 0
+
+
+def test_null_parent_only_roots(result):
+    assert graph.null_parent_violations(result.nodes).count() == 0
+    roots = result.nodes.filter(F.col("parent").isNull())
+    assert roots.count() == result.nodes.select("conv_id").distinct().count()
+
+
+def test_counts_by_level_distribution(result):
+    counts = {r["level_classifier"]: r["n"] for r in graph.counts_by_level(result.nodes).collect()}
+    assert counts.get("conv", 0) > 0
+    assert counts.get("section", 0) > 0
+    assert counts.get("chapter", 0) > 0
+
+
+def test_children_are_ordered_and_complete(result):
+    ch = graph.children_agg(result.nodes)
+    n_edges = result.nodes.filter(F.col("parent").isNotNull()).count()
+    total_children = ch.select(
+        F.sum(F.size("direct_children")).alias("s")
+    ).collect()[0]["s"]
+    assert total_children == n_edges
+
+
+def test_siblings_exclude_self(result):
+    sib = graph.siblings_agg(result.nodes)
+    bad = sib.filter(F.array_contains("siblings", F.col("node_id"))).count()
+    assert bad == 0
+
+
+def test_edges_rel_vocabulary(result):
+    rels = {r["rel"] for r in result.edges.select("rel").distinct().collect()}
+    assert rels == {"child_of", "cites"}
+
+
+def test_incoming_references_reverse_edges(result):
+    inc = graph.incoming_references(result.edges)
+    n_cites = result.edges.filter("rel = 'cites'").select("src", "dst").distinct().count()
+    total = inc.select(F.sum(F.size("incoming_references"))).collect()[0][0]
+    assert total == n_cites
+
+
+def test_status_values(result):
+    statuses = {r["status"] for r in result.nodes.select("status").distinct().collect()}
+    assert statuses <= {"valid", "reserved", "repealed", "renumbered"}
+    assert "reserved" in statuses  # synth injects [Reserved] sections
+
+
+def test_version_suffix_determinism(spark, entity_dict_df):
+    """Same section heading twice in one conv → second gets -v_2
+    (reference scrapingHelpers.py:61-115)."""
+    rows = [
+        ("c1", 0, "user", "Section 1.1 First", None),
+        ("c1", 1, "user", "Section 1.1 Second time", None),
+        ("c1", 2, "user", "Section 1.1 Third time", None),
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool"])
+    pdf["ts"] = pd.Timestamp("2026-01-01")
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    from open_source_legislation_spark import schemas
+
+    tdf = spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS)
+    derived = extract.derive_nodes(reassembly.ordered_turns(tdf))
+    ids = [r["node_id"] for r in derived.orderBy("turn_idx").collect()]
+    assert ids == [
+        "conv=c1/section=1.1",
+        "conv=c1/section=1.1-v_2",
+        "conv=c1/section=1.1-v_3",
+    ]
