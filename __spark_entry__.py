@@ -1,38 +1,74 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship KG-construction DAG end-to-end on transcripts
+derived from the driver's sf0.001 ``documents`` table; ``queries`` /
+``oracle_sql`` expose the SURVEY.md §2 operator inventory plus the
+training-data-pipeline operators with DuckDB oracles.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG pipeline (ordered reassembly → hierarchy windows →
+    mention/definition Arrow kernels → broadcast linking) over transcripts
+    synthesized from the sf0.001 documents table; returns the triples frame.
+    """
+    from open_source_legislation_spark import schemas, synth
+    from open_source_legislation_spark.plans.pipeline import run_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # documents → transcript rows: conv per source, turns ordered by doc_id,
+    # text enriched with a deterministic citation + section heading so every
+    # extraction stage has work to do.
+    transcripts = docs.select(
+        F.col("source").alias("conv_id"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("doc_id"))
+        .cast("int")
+        .alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit("Section 1."),
+                    (F.col("doc_id") % 5 + 1).cast("string"),
+                    F.lit(" Scope. "),
+                ),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.lit(" See "),
+            (F.col("doc_id") % 50 + 1).cast("string"),
+            F.lit(" CFR Part "),
+            (100 + (F.col("doc_id") % 5) * 5).cast("string"),
+            F.lit("."),
+        ).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+    entity_dict = spark.createDataFrame(
+        synth.make_entity_dictionary(), schema=schemas.ENTITY_DICTIONARY
+    )
+    res = run_pipeline(spark, transcripts, entity_dict)
+    return res.triples
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from open_source_legislation_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from open_source_legislation_spark.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,113 @@
+"""Benchmark runner — prints ONE JSON line.
+
+Headline load: the full KG-construction pipeline (triple extraction →
+linking → triples materialization) on a cached deterministic synthetic
+transcript corpus, plus the heaviest driver-contract queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Output: {"metric": "e2e_wall_sec", "value": <total sec>, "unit": "sec",
+         "queries": {...per-query sec...}, "sf": <sf>,
+         "triples_per_sec": <kg throughput>, "kg_turns": N}
+
+Scaling-efficiency runs (local[8] vs local[32]) live in
+``scripts/bench_scaling.py`` → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "500000"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "data")
+
+
+def ensure_bench_transcripts(spark) -> str:
+    """Generate-once, reuse: deterministic synthetic transcripts parquet."""
+    from open_source_legislation_spark import schemas, synth
+
+    path = os.path.join(DATA_DIR, f"transcripts_{BENCH_TURNS}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        pdf = synth.make_transcripts(seed=42, n_turns_target=BENCH_TURNS)
+        spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS).repartition(
+            32
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_kg_pipeline(spark, transcripts_path: str) -> tuple[float, int]:
+    from open_source_legislation_spark import schemas, synth
+    from open_source_legislation_spark.plans.pipeline import run_pipeline
+    from open_source_legislation_spark.sources.io import read_transcripts
+
+    entity_dict = spark.createDataFrame(
+        synth.make_entity_dictionary(), schema=schemas.ENTITY_DICTIONARY
+    )
+    transcripts = read_transcripts(spark, transcripts_path)
+    t0 = time.time()
+    res = run_pipeline(spark, transcripts, entity_dict, num_partitions=None)
+    n_triples = res.triples.count()
+    wall = time.time() - t0
+    res.turns.unpersist()
+    return wall, n_triples
+
+
+HEADLINE_CONTRACT = [
+    "agg_count_by_level",
+    "join_entity_link",
+    "window_running",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_cosine",
+    "ta_quality",
+]
+
+
+def main() -> None:
+    from open_source_legislation_spark.queries import QUERIES
+    from open_source_legislation_spark.session import get_spark
+
+    spark = get_spark(app_name="osl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    transcripts_path = ensure_bench_transcripts(spark)
+    timings: dict[str, float] = {}
+
+    kg_wall, n_triples = run_kg_pipeline(spark, transcripts_path)
+    timings["kg_pipeline"] = round(kg_wall, 3)
+
+    for name in HEADLINE_CONTRACT:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "kg_turns": BENCH_TURNS,
+                "kg_triples": n_triples,
+                "triples_per_sec": round(n_triples / kg_wall, 1) if kg_wall else 0.0,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,251 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+Exact hash-dedup, token-n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup — all pure DataFrame ops (no Python UDFs in any
+hot path), all keyed on a *portable deterministic hash*
+(``first 8 hex chars of md5 → bigint``) so a SQL oracle can reproduce every
+value bit-for-bit.
+
+Scale notes (100 TB corpus):
+- exact dedup is one hash-aggregate (map-side partial agg; no skew — md5
+  keys are uniform);
+- n-gram Jaccard / MinHash explode shingles: the shuffle is bounded by
+  banding (LSH) or by the shingle→pair semi-join; pairs are generated only
+  within buckets, never via cross join;
+- SimHash is two hash-aggregates (doc×bit partial sums, then doc);
+- embedding near-dup brute force is quadratic — kept for small dims /
+  verification; the LSH/IVF path in ``similarity.py`` is the scale route.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# portable hash: same value in DuckDB via CAST('0x'||substr(md5(s),1,8) AS BIGINT)
+def _h64(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def _tokens(text_col):
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups: one survivor (min doc_id) + copy count per
+    distinct text hash (first-writer-wins — SURVEY §2.6 dedup_skip)."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct token n-grams per doc: (doc_id, shingle)."""
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("w"))
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
+                )
+            )
+        ).alias("shingle"),
+    ).filter(F.length("shingle") > 0)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Near-dup pairs by token-n-gram Jaccard ≥ threshold.
+
+    Pair generation via shingle co-occurrence join (only docs sharing ≥1
+    shingle are compared) — the standard similarity-join shape; at scale the
+    hot shingles are capped by LSH banding (``minhash_lsh_pairs``) instead.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded 3.
+    """
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 3),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# deterministic affine permutation constants for MinHash (public textbook
+# scheme: h_i(x) = (a_i * x + b_i) mod p, p = 2^31 - 1 prime)
+_MH_P = 2147483647
+
+
+def _mh_params(num_perm: int) -> list[tuple[int, int]]:
+    # fixed, seedless, reproducible in SQL literals
+    return [(2 * i + 1, 7919 * (i + 1) % _MH_P) for i in range(num_perm)]
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, num_perm: int = 16) -> DataFrame:
+    """(doc_id, sig: array<bigint>[num_perm]) MinHash signatures."""
+    sh = shingles(docs, n).withColumn("h", _h64(F.col("shingle")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_mh_params(num_perm))
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[f"mh{i}" for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates, verified by true Jaccard.
+
+    band → bucket-join on the band signature (docs colliding in ≥1 band
+    become candidates) → verify with exact shingle Jaccard ≥ threshold.
+    The band join is the scale path: shuffle volume is #docs × #bands,
+    never quadratic. Output: (doc_a, doc_b, jaccard).
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(docs, n, num_perm)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[bi * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(docs, n, threshold)
+    return cands.join(verified, ["doc_a", "doc_b"], "inner").select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash) — SimHash as a `bits`-char 0/1 string.
+
+    Two hash-aggregates: (doc, bit) ± votes from token hashes, then the
+    ordered bit concat. A string keeps the value portable to the SQL oracle
+    (no signed-bigint edge cases). 32 bits because the portable hash is
+    32-bit (first 8 md5 hex chars)."""
+    toks = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .withColumn("h", _h64(F.col("tok")))
+    )
+    votes = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bits - 1)),
+                    lambda b: F.struct(
+                        b.alias("bit"),
+                        # (h >> b) & 1 with a Column shift amount: h < 2^32
+                        # so h / 2^b is exact in double; cast truncates
+                        F.when(
+                            (F.col("h") / F.pow(F.lit(2.0), b.cast("double")))
+                            .cast("bigint")
+                            % 2
+                            == 1,
+                            1,
+                        )
+                        .otherwise(-1)
+                        .alias("v"),
+                    ),
+                )
+            ).alias("bv"),
+        )
+        .groupBy("doc_id", F.col("bv.bit").alias("bit"))
+        .agg(F.sum(F.col("bv.v")).alias("s"))
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bit", "s"))),
+                    lambda x: F.when(x["s"] > 0, "1").otherwise("0"),
+                ),
+            ).alias("simhash")
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold over `embedding:array<float>`.
+
+    Brute-force pairwise (verification baseline); the bucketed/IVF path for
+    scale lives in similarity.py. Double-precision sequential dot product so
+    the SQL oracle reproduces values exactly. Output: (vec_a, vec_b, cos)."""
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(dot / (norm(F.col("ea")) * norm(F.col("eb"))), 3))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )

@@ -1,0 +1,127 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+- brute-force cosine top-k: the verification baseline (reference analog:
+  pgvector `ORDER BY embedding <=> q LIMIT 5`, reference CLAUDE.md:204-210);
+- IVF-partitioned top-k: search only the query's coarse partition (here the
+  `label` column stands in for the IVF cell assignment) — the scale path:
+  partition pruning turns an all-pairs scan into a per-cell scan;
+- LSH sign-projection bucketing for ANN without precomputed cells.
+
+All arithmetic is double-precision sequential (zip_with + aggregate) so the
+DuckDB oracle reproduces values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+
+
+def _norm(c):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+    )
+
+
+def cosine_to_query(embeddings: DataFrame, query_vec_id: int) -> DataFrame:
+    """Attach `cos` = cosine(embedding, embedding[query_vec_id]) to all rows.
+
+    The single query vector is crossJoin-broadcast (one row) — no shuffle.
+    """
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe")
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(q))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("embedding"), F.col("qe"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qe"))),
+                3,
+            ),
+        )
+        .drop("qe")
+    )
+
+
+def topk_cosine(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k (excluding the query row itself).
+
+    orderBy+limit compiles to TakeOrderedAndProject — per-partition top-k
+    then a k-row merge on the driver; no full sort, no single-reducer
+    bottleneck at scale."""
+    return (
+        cosine_to_query(embeddings, query_vec_id)
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "cos")
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(k)
+    )
+
+
+def topk_cosine_ivf(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """IVF-style top-k: prune to the query's coarse cell (`label`) first.
+
+    At 100 TB the cell filter is a partition-pruned scan (embeddings table
+    partitioned by cell id) — the probe cost is |cell|, not |corpus|."""
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("label").alias("qlabel"), F.col("embedding").alias("qe")
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter((F.col("label") == F.col("qlabel")) & (F.col("vec_id") != query_vec_id))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("embedding"), F.col("qe"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qe"))),
+                3,
+            ),
+        )
+        .select("vec_id", "cos")
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(k)
+    )
+
+
+def lsh_sign_buckets(embeddings: DataFrame, planes: list[list[float]]) -> DataFrame:
+    """Sign-random-projection bucket id per vector: bit b = sign(v · plane_b).
+
+    `planes` are deterministic literals (fixed seed upstream); bucket is a
+    0/1 string. ANN = candidates sharing a bucket, verified by exact cosine.
+    """
+    bucket = F.concat_ws(
+        "",
+        *[
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        "embedding",
+                        F.array(*[F.lit(float(x)) for x in p]),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda s, v: s + v,
+                )
+                > 0,
+                "1",
+            ).otherwise("0")
+            for p in planes
+        ],
+    )
+    return embeddings.withColumn("bucket", bucket)

@@ -1,0 +1,65 @@
+"""Text analysis for training-data pipelines over the `documents` table.
+
+Language-ID (stopword-ratio heuristic), quality scoring, token counting,
+and document fingerprinting — all expressed as native Spark SQL expressions
+(whole-stage-codegen'd; zero Python in the scan path) with exact SQL-oracle
+parity via rounded doubles and md5 fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_EN_STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
+
+
+def _tokens(text_col):
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct_tokens) — whitespace tokenization
+    (reference tiktoken counting analog, utilityFunctions.py:625-629, with
+    a deterministic tokenizer)."""
+    toks = _tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, stopword_ratio, ttr, quality) — length/stopword/diversity
+    quality heuristic; score = weighted blend rounded to 3."""
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: t.isin(_EN_STOPWORDS)))
+    ttr = F.size(F.array_distinct(toks)) / n
+    stop_ratio = stop / n
+    length_score = F.least(F.col("n_chars") / F.lit(400.0), F.lit(1.0))
+    return docs.select(
+        "doc_id",
+        F.round(stop_ratio, 3).alias("stopword_ratio"),
+        F.round(ttr, 3).alias("ttr"),
+        F.round(0.5 * length_score + 0.3 * ttr + 0.2 * stop_ratio, 3).alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, threshold: float = 0.04) -> DataFrame:
+    """(doc_id, predicted_lang) — n-gram-free stopword heuristic: predict
+    'en' when the English stopword ratio clears the threshold, else 'und'."""
+    toks = _tokens(F.col("text"))
+    ratio = F.size(F.filter(toks, lambda t: t.isin(_EN_STOPWORDS))) / F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.when(ratio >= threshold, "en").otherwise("und").alias("predicted_lang"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) — 16-hex-char fingerprint of whitespace-normalized text
+    (reference content-identity analog of node_id determinism)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", F.substring(F.md5(norm), 1, 16).alias("fp"))

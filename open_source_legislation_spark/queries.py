@@ -1,0 +1,622 @@
+"""Driver-contract query registry.
+
+One entry per implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline operators), each as a ``(spark, sf_dir) -> DataFrame``
+callable with a matching DuckDB oracle SQL string over the same parquet
+tables. Column names/aliases match exactly on both sides (the driver's
+compare hashes values after sorting columns by name).
+
+Doubles are rounded on both sides; hashes use the portable
+``md5-hex→bigint`` scheme so values agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import dedup, similarity, text_analysis
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# SURVEY §2 operators over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+def q_agg_count_by_level(spark, sf_dir):
+    """SURVEY §2.5 agg_count_by_level (validation group-by, CLAUDE.md:438) —
+    Q1-shaped hash aggregate: partial agg map-side, no skew."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_revenue"
+            ),
+        )
+    )
+
+
+def q_join_orphan_anti(spark, sf_dir):
+    """SURVEY §2.3 join_orphan_anti — left-anti orphan check
+    (CLAUDE.md:448-452): customers with no orders, counted by segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o.select("o_custkey"), c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orphans"))
+    )
+
+
+def q_join_entity_link(spark, sf_dir):
+    """SURVEY §2.3 join_entity_link — broadcast equi-join of a fact stream
+    against a small dimension (the canonical-dictionary shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+def q_join_hierarchy_rank(spark, sf_dir):
+    """SURVEY §2.3 join_hierarchy_rank — as-of resolution: each event's most
+    recent preceding signup by the same user (nearest-preceding-row window,
+    the parent-resolution shape of scrapeCA.py:180-215)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return e.select(
+        "event_id",
+        F.last(
+            F.when(F.col("event_type") == "signup", F.col("event_id")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("last_signup_id"),
+    )
+
+
+def q_dedup_version(spark, sf_dir):
+    """SURVEY §2.6 dedup_version — deterministic -v_n suffixes by arrival
+    rank (scrapingHelpers.py:61-115): lineitem rows versioned per order."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    rn = F.row_number().over(w)
+    return li.select(
+        F.when(rn == 1, F.col("l_orderkey").cast("string"))
+        .otherwise(F.concat_ws("-v_", F.col("l_orderkey").cast("string"), rn.cast("string")))
+        .alias("versioned_id"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+
+def q_agg_children_collect(spark, sf_dir):
+    """SURVEY §2.5 agg_children_collect — order-sensitive child list per
+    parent (direct_children derivation, CLAUDE.md:172-174)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("o_orderkey")), lambda x: x.cast("string")
+            ),
+        ).alias("children")
+    )
+
+
+def q_agg_text_concat(spark, sf_dir):
+    """SURVEY §2.5 agg_text_concat — the turn-reassembly aggregate: ordered
+    per-key concat (to_list_text analog, pydanticModels.py:290-296)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("event_seq")
+    )
+
+
+def q_sort_topk(spark, sf_dir):
+    """SURVEY §2.7 sort/limit — TakeOrderedAndProject top-k, no full sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy(F.desc("price"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def q_set_except(spark, sf_dir):
+    """SURVEY §2.8 set_except — id-set difference: nations having suppliers
+    but no customers."""
+    s = _t(spark, sf_dir, "supplier").select("s_nationkey").distinct()
+    c = _t(spark, sf_dir, "customer").select("c_nationkey").distinct()
+    n = _t(spark, sf_dir, "nation")
+    only = s.join(c, s["s_nationkey"] == c["c_nationkey"], "left_anti")
+    return (
+        only.join(n, only["s_nationkey"] == n["n_nationkey"])
+        .select("n_name")
+        .orderBy("n_name")
+    )
+
+
+def q_prj_text_clean(spark, sf_dir):
+    """SURVEY §2.2 prj_text_clean — the normalization chain
+    (scrapingHelpers.py:196-220) as native expressions (codegen'd)."""
+    d = _t(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.translate(F.col("text"), "—– ", "--  "),
+                r"<[^<>]*>",
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select("doc_id", clean.alias("clean_text"))
+
+
+def q_flt_status_classify(spark, sf_dir):
+    """SURVEY §2.2 flt_reserved — keyword status classification
+    (scrapeCA.py:57, CLAUDE.md:556-561) over document text."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(F.col("text").rlike(r"\bslow\b"), "flag_slow")
+        .when(F.col("text").rlike(r"\berror\b"), "flag_error")
+        .otherwise("valid")
+        .alias("status"),
+    )
+
+
+def q_id_algebra(spark, sf_dir):
+    """SURVEY §2.4 NodeID algebra — add/pop/current-level as string ops
+    (pydanticModels.py:16-135) on ids minted from lineitem keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    node_id = F.concat(
+        F.lit("order="),
+        F.col("l_orderkey").cast("string"),
+        F.lit("/line="),
+        F.col("l_linenumber").cast("string"),
+    )
+    return li.select(
+        node_id.alias("node_id"),
+        F.expr(
+            "array_join(slice(split(concat('order=', cast(l_orderkey as string), "
+            "'/line=', cast(l_linenumber as string)),'/'),1,1),'/')"
+        ).alias("parent_id"),
+        F.element_at(F.split(node_id, "/"), -1).alias("current_level"),
+    )
+
+
+def q_window_running(spark, sf_dir):
+    """SURVEY §2.10 stable ordinal — row_number over (user, ts): the
+    node_order SERIAL analog."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select("event_id", "user_id", F.row_number().over(w).alias("ord"))
+
+
+def q_agg_cube_level_status(spark, sf_dir):
+    """SURVEY §2.5 grouping-sets note — per-level × per-status validation
+    cube (counts_by_level_status analog)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+def q_join_semi(spark, sf_dir):
+    """SURVEY §2.3 join_semi_hubsrc — semi-join classification: brands that
+    actually ship (≥1 lineitem)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        p.join(li.select("l_partkey"), p["p_partkey"] == li["l_partkey"], "left_semi")
+        .select("p_brand")
+        .distinct()
+        .orderBy("p_brand")
+    )
+
+
+def q_window_tumbling(spark, sf_dir):
+    """SURVEY §2.11 streaming-window analog — tumbling 1-day event-time
+    aggregation (F.window in streaming; date-aligned here)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q_flt_unprocessed(spark, sf_dir):
+    """SURVEY §2.2 flt_unprocessed — the pending-work predicate
+    (processingHelpers.py:59-65): events lacking a props key, count/type."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(
+            F.get_json_object("props", "$.k").isNotNull()
+            & (F.get_json_object("props", "$.k").cast("int") > 50)
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_pending"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.8)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=3, num_perm=16, bands=4, threshold=0.5
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    return dedup.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+def q_sim_topk_cosine(spark, sf_dir):
+    return similarity.topk_cosine(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+def q_sim_topk_ivf(spark, sf_dir):
+    return similarity.topk_cosine_ivf(
+        _t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10
+    )
+
+
+def q_ta_tokens(spark, sf_dir):
+    return text_analysis.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_ta_quality(spark, sf_dir):
+    return text_analysis.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_ta_langid(spark, sf_dir):
+    return text_analysis.language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_ta_fingerprint(spark, sf_dir):
+    return text_analysis.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "agg_count_by_level": q_agg_count_by_level,
+    "join_orphan_anti": q_join_orphan_anti,
+    "join_entity_link": q_join_entity_link,
+    "join_hierarchy_rank": q_join_hierarchy_rank,
+    "dedup_version": q_dedup_version,
+    "agg_children_collect": q_agg_children_collect,
+    "agg_text_concat": q_agg_text_concat,
+    "sort_topk": q_sort_topk,
+    "set_except": q_set_except,
+    "prj_text_clean": q_prj_text_clean,
+    "flt_status_classify": q_flt_status_classify,
+    "id_algebra": q_id_algebra,
+    "window_running": q_window_running,
+    "agg_cube_level_status": q_agg_cube_level_status,
+    "join_semi": q_join_semi,
+    "window_tumbling": q_window_tumbling,
+    "flt_unprocessed": q_flt_unprocessed,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "sim_topk_cosine": q_sim_topk_cosine,
+    "sim_topk_ivf": q_sim_topk_ivf,
+    "ta_tokens": q_ta_tokens,
+    "ta_quality": q_ta_quality,
+    "ta_langid": q_ta_langid,
+    "ta_fingerprint": q_ta_fingerprint,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (same column names; doubles rounded identically)
+# ---------------------------------------------------------------------------
+
+_JACCARD_CTE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(w[i:i+2], ' ') FOR i IN range(1, greatest(len(w)-1, 1))]
+  )) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jac AS (
+  SELECT doc_a, doc_b,
+         round(inter * 1.0 / (sa.sz + sb.sz - inter), 3) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+"""
+
+def _minhash_sql(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    params = [(2 * i + 1, 7919 * (i + 1) % 2147483647) for i in range(num_perm)]
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % 2147483647) AS mh{i}" for i, (a, b) in enumerate(params)
+    )
+    rpb = num_perm // bands
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, concat_ws(',', {cols}) AS bucket FROM sig".format(
+            bi=bi,
+            cols=", ".join(f"CAST(mh{bi * rpb + r} AS VARCHAR)" for r in range(rpb)),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(w[i:i+2], ' ') FOR i IN range(1, greatest(len(w)-1, 1))]
+  )) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jac AS (
+  SELECT doc_a, doc_b,
+         round(inter * 1.0 / (sa.sz + sb.sz - inter), 3) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h FROM sh
+), sig AS (
+  SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+), banded AS (
+  {band_selects}
+), cands AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+)
+SELECT c.doc_a, c.doc_b, j.jaccard
+FROM cands c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+WHERE j.jaccard >= {threshold}
+"""
+
+
+_COS_EXPR = """
+round(
+  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+  3)
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "agg_count_by_level": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "join_orphan_anti": """
+        SELECT c_mktsegment, count(*) AS n_orphans
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        WHERE o.o_custkey IS NULL GROUP BY c_mktsegment
+    """,
+    "join_entity_link": """
+        SELECT p_brand, count(*) AS n,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    "join_hierarchy_rank": """
+        SELECT event_id,
+               last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_signup_id
+        FROM events
+    """,
+    "dedup_version": """
+        SELECT CASE WHEN rn = 1 THEN CAST(l_orderkey AS VARCHAR)
+                    ELSE CAST(l_orderkey AS VARCHAR) || '-v_' || CAST(rn AS VARCHAR)
+               END AS versioned_id, l_orderkey, l_linenumber
+        FROM (SELECT l_orderkey, l_linenumber,
+                     row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+              FROM lineitem)
+    """,
+    "agg_children_collect": """
+        SELECT o_custkey,
+               string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS children
+        FROM orders GROUP BY o_custkey
+    """,
+    "agg_text_concat": """
+        SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq
+        FROM events GROUP BY user_id
+    """,
+    "sort_topk": """
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders ORDER BY price DESC, o_orderkey LIMIT 10
+    """,
+    "set_except": """
+        SELECT n_name FROM nation
+        WHERE n_nationkey IN (SELECT DISTINCT s_nationkey FROM supplier)
+          AND n_nationkey NOT IN (SELECT DISTINCT c_nationkey FROM customer)
+        ORDER BY n_name
+    """,
+    "prj_text_clean": """
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(
+                 replace(replace(replace(text, chr(8212), '-'), chr(8211), '-'), chr(160), ' '),
+                 '<[^<>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS clean_text
+        FROM documents
+    """,
+    "flt_status_classify": """
+        SELECT doc_id,
+               CASE WHEN regexp_matches(text, '\\bslow\\b') THEN 'flag_slow'
+                    WHEN regexp_matches(text, '\\berror\\b') THEN 'flag_error'
+                    ELSE 'valid' END AS status
+        FROM documents
+    """,
+    "id_algebra": """
+        SELECT concat('order=', CAST(l_orderkey AS VARCHAR), '/line=',
+                      CAST(l_linenumber AS VARCHAR)) AS node_id,
+               concat('order=', CAST(l_orderkey AS VARCHAR)) AS parent_id,
+               concat('line=', CAST(l_linenumber AS VARCHAR)) AS current_level
+        FROM lineitem
+    """,
+    "window_running": """
+        SELECT event_id, user_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ord
+        FROM events
+    """,
+    "agg_cube_level_status": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "join_semi": """
+        SELECT DISTINCT p_brand FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+        ORDER BY p_brand
+    """,
+    "window_tumbling": """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "flt_unprocessed": """
+        SELECT event_type, count(*) AS n_pending
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+        GROUP BY event_type
+    """,
+    "dedup_exact": """
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_ngram_jaccard": _JACCARD_CTE
+    + "SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.8",
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+          FROM documents
+        ), hashed AS (
+          SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+          FROM toks WHERE length(tok) > 0
+        ), votes AS (
+          SELECT doc_id, bit,
+                 sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM hashed, (SELECT unnest(range(0, 32)) AS bit)
+          GROUP BY doc_id, bit
+        )
+        SELECT doc_id,
+               string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash
+        FROM votes GROUP BY doc_id
+    """,
+    "dedup_embedding_cosine": f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_EXPR} AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COS_EXPR} >= 0.35
+    """,
+    "sim_topk_cosine": f"""
+        SELECT b.vec_id, {_COS_EXPR} AS cos
+        FROM (SELECT * FROM embeddings WHERE vec_id = 0) a
+        JOIN embeddings b ON b.vec_id != 0
+        ORDER BY cos DESC, b.vec_id LIMIT 10
+    """,
+    "sim_topk_ivf": f"""
+        SELECT b.vec_id, {_COS_EXPR} AS cos
+        FROM (SELECT * FROM embeddings WHERE vec_id = 0) a
+        JOIN embeddings b ON b.vec_id != 0 AND b.label = a.label
+        ORDER BY cos DESC, b.vec_id LIMIT 10
+    """,
+    "ta_tokens": """
+        SELECT doc_id,
+               len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
+               len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+                 AS n_distinct_tokens
+        FROM documents
+    """,
+    "ta_quality": """
+        WITH t AS (
+          SELECT doc_id, n_chars,
+                 string_split_regex(trim(lower(text)), '\\s+') AS w
+          FROM documents
+        )
+        SELECT doc_id,
+               round(len(list_filter(w, x -> x IN ('the','a','of','and','in','to','is')))
+                     * 1.0 / len(w), 3) AS stopword_ratio,
+               round(len(list_distinct(w)) * 1.0 / len(w), 3) AS ttr,
+               round(0.5 * least(n_chars / 400.0, 1.0)
+                     + 0.3 * (len(list_distinct(w)) * 1.0 / len(w))
+                     + 0.2 * (len(list_filter(w, x -> x IN ('the','a','of','and','in','to','is')))
+                              * 1.0 / len(w)), 3) AS quality
+        FROM t
+    """,
+    "ta_langid": """
+        SELECT doc_id,
+               CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                         x -> x IN ('the','a','of','and','in','to','is')))
+                         * 1.0 / len(string_split_regex(trim(lower(text)), '\\s+')) >= 0.04
+                    THEN 'en' ELSE 'und' END AS predicted_lang
+        FROM documents
+    """,
+    "ta_fingerprint": """
+        SELECT doc_id,
+               substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16) AS fp
+        FROM documents
+    """,
+}

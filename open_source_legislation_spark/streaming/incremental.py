@@ -1,0 +1,62 @@
+"""Incremental ingestion — Structured Streaming front-end.
+
+The reference is pure batch; its incremental behavior is the poll-until-
+empty resume loop (reference ``3_process.py:22-29``), which our batch
+checkpoint runner reproduces (``plans/checkpoint.py``). This module adds the
+optional streaming front-end SURVEY §2.11 sketches: a file-source stream of
+transcript rows processed with ``Trigger.AvailableNow`` (deterministic,
+terminating — the streaming analog of "process until no pending rows"),
+deduped within a watermark (late/duplicate arrivals — the streaming analog
+of ``dedup_version``), extracted per micro-batch via ``foreachBatch`` reusing
+the exact batch DAG, and appended to the triples sink. State lives in the
+stream checkpoint directory, so a killed stream resumes exactly once.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import schemas
+from ..plans.pipeline import run_pipeline
+
+
+def incremental_extract(
+    spark: SparkSession,
+    input_dir: str,
+    entity_dict: DataFrame,
+    out_dir: str,
+    watermark: str = "10 minutes",
+) -> None:
+    """Run one AvailableNow pass: new transcript parquet files → triples.
+
+    ``dropDuplicates`` under a watermark bounds dedup state (exact
+    (conv_id, turn_idx) replays within the watermark are dropped — later
+    replays are handled by the batch dedup window downstream).
+    """
+    stream = (
+        spark.readStream.schema(schemas.TRANSCRIPTS)
+        .parquet(input_dir)
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["conv_id", "turn_idx", "ts"])
+    )
+
+    triples_dir = os.path.join(out_dir, "triples")
+    ckpt_dir = os.path.join(out_dir, "_stream_checkpoint")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = run_pipeline(spark, batch_df, entity_dict)
+        res.triples.withColumn("batch_id", res.triples["turn_idx"] * 0 + batch_id) \
+            .write.mode("append").parquet(triples_dir)
+        res.turns.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,51 @@
+"""Kill-and-resume idempotence: a run killed at a partition boundary and
+resumed must produce the identical final triple set (BASELINE.md
+resumability target)."""
+
+import pytest
+
+from open_source_legislation_spark.plans.checkpoint import CheckpointedRunner
+
+
+def _triples_set(runner):
+    return set(
+        map(tuple, runner.triples().select("subj", "pred", "obj").collect())
+    )
+
+
+def test_kill_and_resume_identical(
+    spark, transcripts_df, entity_dict_df, tmp_path_factory
+):
+    # single-shot reference run
+    ref_dir = str(tmp_path_factory.mktemp("ckpt_ref"))
+    ref = CheckpointedRunner(spark, ref_dir, run_id="ref", num_buckets=4)
+    assert ref.run(transcripts_df, entity_dict_df) == 4
+    expected = _triples_set(ref)
+
+    # killed run: dies after 2 buckets
+    kill_dir = str(tmp_path_factory.mktemp("ckpt_kill"))
+    killed = CheckpointedRunner(spark, kill_dir, run_id="r1", num_buckets=4)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        killed.run(transcripts_df, entity_dict_df, fail_after=2)
+    assert len(killed.completed_buckets()) == 2
+
+    # resume: only remaining buckets run; final tables identical
+    resumed = CheckpointedRunner(spark, kill_dir, run_id="r2", num_buckets=4)
+    assert resumed.run(transcripts_df, entity_dict_df) == 2
+    assert _triples_set(resumed) == expected
+
+    # second resume is a no-op (idempotence)
+    assert resumed.run(transcripts_df, entity_dict_df) == 0
+
+
+def test_metrics_ledger(spark, transcripts_df, entity_dict_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ckpt_m"))
+    runner = CheckpointedRunner(spark, out, run_id="m1", num_buckets=2)
+    runner.run(transcripts_df, entity_dict_df)
+    m = runner.metrics()
+    names = {r["metric"] for r in m.select("metric").distinct().collect()}
+    assert {"triples_emitted", "mentions_linked", "link_miss_rate", "wall_ms"} <= names
+    # one row per (bucket, metric)
+    assert m.count() == 2 * 4
+    # every bucket committed lineage
+    assert runner.completed_buckets() == {0, 1}
