@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import dedup, similarity, text_analysis
+from .operators import canonicalize, dedup, multimodal, similarity, text_analysis
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -271,6 +271,244 @@ def q_flt_unprocessed(spark, sf_dir):
     )
 
 
+def q_cc_alias(spark, sf_dir):
+    """SURVEY §2.6 cc_alias — the real iterative min-label-propagation CC
+    loop (canonicalize.connected_components) over a deterministic alias
+    graph: user→event star edges plus user→group bridge edges, so
+    components merge across users (diameter 4, a few loop rounds)."""
+    e = _t(spark, sf_dir, "events")
+    uid = F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    star = e.select(
+        uid.alias("src"), F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("dst")
+    )
+    bridge = e.select(
+        uid.alias("src"),
+        F.concat(F.lit("g"), (F.col("user_id") % 7).cast("string")).alias("dst"),
+    ).distinct()
+    labels = canonicalize.connected_components(star.unionByName(bridge))
+    return labels.select("member", "canonical")
+
+
+def q_join_defs_scope(spark, sf_dir):
+    """SURVEY §2.3 join_defs_scope — prefix-hierarchy join
+    (fetch_definitions ancestor walk, pydanticModels.py:654-757): explode
+    each node id's ancestor prefixes, join against a hubs table."""
+    li = _t(spark, sf_dir, "lineitem")
+    node_id = F.concat(
+        F.lit("order="),
+        F.col("l_orderkey").cast("string"),
+        F.lit("/line="),
+        F.col("l_linenumber").cast("string"),
+    )
+    # hubs exist at every 10th order level
+    hubs = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.concat(F.lit("order="), F.col("o_orderkey").cast("string")).alias(
+                "hub_scope"
+            )
+        )
+    )
+    parts = F.split(node_id, "/")
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, 1, i), "/"),
+    )
+    exploded = li.select(
+        node_id.alias("node_id"), F.explode(prefixes).alias("prefix")
+    )
+    return (
+        exploded.join(F.broadcast(hubs), exploded["prefix"] == hubs["hub_scope"])
+        .select("node_id", "hub_scope")
+    )
+
+
+def q_join_incoming_refs(spark, sf_dir):
+    """SURVEY §2.3 join_incoming_refs — reverse-edge aggregate: per target,
+    the sorted distinct set of citing sources (incoming_references,
+    pydanticModels.py:442)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.col("event_type").alias("node_id"))
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set(F.col("user_id").cast("string")))
+            ).alias("incoming_refs")
+        )
+    )
+
+
+def q_agg_siblings(spark, sf_dir):
+    """SURVEY §2.5 agg_siblings — nodes sharing a parent, self removed
+    (CLAUDE.md:535): per order, the other orders of the same customer."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    w = Window.partitionBy("o_custkey")
+    sibs = F.array_remove(
+        F.array_sort(F.collect_list("o_orderkey").over(w)), F.col("o_orderkey")
+    )
+    return (
+        o.select("o_orderkey", sibs.alias("sib_arr"))
+        .filter(F.size("sib_arr") > 0)
+        .select(
+            "o_orderkey",
+            F.concat_ws(
+                ",", F.transform(F.col("sib_arr"), lambda x: x.cast("string"))
+            ).alias("siblings"),
+        )
+    )
+
+
+def q_prj_citation(spark, sf_dir):
+    """SURVEY §2.2 prj_citation — bluebook-style citation formatting keyed
+    by classifier (create_citation_from_level_classifier,
+    scrapeECFR.py:1174-1210)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.format_string("%d U.S.C. § %d", F.col("user_id"), F.col("event_id")),
+        )
+        .when(
+            F.col("event_type") == "view",
+            F.format_string("%d CFR Part %d", F.col("user_id"), F.col("event_id")),
+        )
+        .otherwise(
+            F.format_string("id %d, note %d", F.col("user_id"), F.col("event_id"))
+        )
+        .alias("citation"),
+    )
+
+
+def q_prj_number_extract(spark, sf_dir):
+    """SURVEY §2.2 prj_number_extract — first-number extraction + trailing
+    punctuation strip (scrapeCA.py:260-271)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([0-9]+)", 1).alias("first_number"),
+        F.regexp_replace(F.trim("text"), r"[.,;:]+$", "").alias("no_trailing_punct"),
+    )
+
+
+def q_set_intersect(spark, sf_dir):
+    """SURVEY §2.8 set_intersect — nations with both suppliers and
+    customers."""
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    n = _t(spark, sf_dir, "nation")
+    both = s.intersect(c)
+    return (
+        both.join(n, both["nk"] == n["n_nationkey"]).select("n_name").orderBy("n_name")
+    )
+
+
+def q_set_union_hubs(spark, sf_dir):
+    """SURVEY §2.8 set_union_hubs — precedence-ranked union-dedup
+    (ReferenceHub.combine, pydanticModels.py:184-189): supplier wins over
+    customer on nation-key conflicts."""
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nk"))
+        .distinct()
+        .withColumn("origin", F.lit("supplier"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nk"))
+        .distinct()
+        .withColumn("origin", F.lit("customer"))
+    )
+    w = Window.partitionBy("nk").orderBy("origin")  # customer < supplier
+    return (
+        s.unionByName(c)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("nk", F.col("origin").alias("winner"))
+    )
+
+
+def q_dedup_skip(spark, sf_dir):
+    """SURVEY §2.6 dedup_skip — first-writer-wins
+    (insert_node_skip_duplicate, scrapeECFR.py:1264-1277): keep the
+    min-linenumber row per order."""
+    li = _t(spark, sf_dir, "lineitem")
+    # the synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
+    # the order key includes every projected column — ties become harmless
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+    )
+
+
+def q_sort_pop_last(spark, sf_dir):
+    """SURVEY §2.7 sort_pop_last — peel the max-index element per group
+    (NodeText.pop addendum peel, pydanticModels.py:265-280)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # composite scalar key: deterministic pick under duplicate linenumbers
+    key = F.col("l_linenumber").cast("long") * 10000000 + F.col("l_partkey")
+    return li.groupBy("l_orderkey").agg(
+        F.max_by("l_partkey", key).alias("popped_partkey"),
+        F.max("l_linenumber").alias("popped_index"),
+        (F.count("*") - 1).alias("n_remaining"),
+    )
+
+
+def q_agg_distinct_sources(spark, sf_dir):
+    """SURVEY §2.5 agg_distinct_sources — distinct scope-id set build
+    (scrapeECFR.py:1476-1502)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("source").distinct().orderBy("source")
+
+
+def q_agg_usage_cost(spark, sf_dir):
+    """SURVEY §2.5 agg_usage_cost — cost-accounting aggregate (token ×
+    price, pydanticModels.py:527-546): per-type value × unit price."""
+    e = _t(spark, sf_dir, "events")
+    price = (
+        F.when(F.col("event_type") == "purchase", 0.03)
+        .when(F.col("event_type") == "view", 0.001)
+        .otherwise(0.0001)
+    )
+    return e.groupBy("event_type").agg(
+        F.round(F.sum(F.col("value") * price), 3).alias("cost"),
+        F.count("*").alias("n_calls"),
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    """SURVEY §2.7 windowed top-k — top-3 orders per segment by price (rank
+    window, partial TakeOrdered per group)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment", "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("price"), "o_orderkey")
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "o_orderkey", "price", "rk")
+    )
+
+
+def q_mm_metadata(spark, sf_dir):
+    """Multimodal plumbing — binary payloads + typed header parse via
+    mapInPandas (operators/multimodal.py)."""
+    media = multimodal.synth_media_from_documents(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_metadata(media)
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling — strided byte-frame extraction from the
+    video payloads, JVM-side slicing (operators/multimodal.py)."""
+    media = multimodal.synth_media_from_documents(_t(spark, sf_dir, "documents"))
+    return multimodal.frame_sample(media, stride=64, frame_len=8)
+
+
 # ---------------------------------------------------------------------------
 # Training-data-pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -344,6 +582,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_semi": q_join_semi,
     "window_tumbling": q_window_tumbling,
     "flt_unprocessed": q_flt_unprocessed,
+    "cc_alias": q_cc_alias,
+    "join_defs_scope": q_join_defs_scope,
+    "join_incoming_refs": q_join_incoming_refs,
+    "agg_siblings": q_agg_siblings,
+    "prj_citation": q_prj_citation,
+    "prj_number_extract": q_prj_number_extract,
+    "set_intersect": q_set_intersect,
+    "set_union_hubs": q_set_union_hubs,
+    "dedup_skip": q_dedup_skip,
+    "sort_pop_last": q_sort_pop_last,
+    "agg_distinct_sources": q_agg_distinct_sources,
+    "agg_usage_cost": q_agg_usage_cost,
+    "topk_per_group": q_topk_per_group,
+    "mm_metadata": q_mm_metadata,
+    "mm_frame_sample": q_mm_frame_sample,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -541,6 +794,128 @@ ORACLE_SQL: dict[str, str] = {
         FROM events
         WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
         GROUP BY event_type
+    """,
+    "cc_alias": """
+        WITH verts AS (
+          SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS member,
+                 user_id % 7 AS grp FROM events
+          UNION
+          SELECT DISTINCT 'e' || CAST(event_id AS VARCHAR), user_id % 7 FROM events
+          UNION
+          SELECT DISTINCT 'g' || CAST(user_id % 7 AS VARCHAR), user_id % 7 FROM events
+        ), canon AS (SELECT grp, min(member) AS canonical FROM verts GROUP BY grp)
+        SELECT v.member, c.canonical FROM verts v JOIN canon c USING (grp)
+    """,
+    "join_defs_scope": """
+        SELECT concat('order=', CAST(l_orderkey AS VARCHAR), '/line=',
+                      CAST(l_linenumber AS VARCHAR)) AS node_id,
+               concat('order=', CAST(l_orderkey AS VARCHAR)) AS hub_scope
+        FROM lineitem WHERE l_orderkey % 10 = 0
+    """,
+    "join_incoming_refs": """
+        SELECT event_type AS node_id,
+               string_agg(DISTINCT CAST(user_id AS VARCHAR), ','
+                          ORDER BY CAST(user_id AS VARCHAR)) AS incoming_refs
+        FROM events GROUP BY event_type
+    """,
+    "agg_siblings": """
+        SELECT a.o_orderkey,
+               string_agg(CAST(b.o_orderkey AS VARCHAR), ',' ORDER BY b.o_orderkey)
+                 AS siblings
+        FROM orders a JOIN orders b
+          ON a.o_custkey = b.o_custkey AND a.o_orderkey != b.o_orderkey
+        GROUP BY a.o_orderkey
+    """,
+    "prj_citation": """
+        SELECT event_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN printf('%d U.S.C. § %d', user_id, event_id)
+                    WHEN event_type = 'view'
+                    THEN printf('%d CFR Part %d', user_id, event_id)
+                    ELSE printf('id %d, note %d', user_id, event_id)
+               END AS citation
+        FROM events
+    """,
+    "prj_number_extract": """
+        SELECT doc_id,
+               coalesce(regexp_extract(text, '([0-9]+)', 1), '') AS first_number,
+               regexp_replace(trim(text), '[.,;:]+$', '') AS no_trailing_punct
+        FROM documents
+    """,
+    "set_intersect": """
+        SELECT n_name FROM nation
+        WHERE n_nationkey IN (SELECT s_nationkey FROM supplier
+                              INTERSECT SELECT c_nationkey FROM customer)
+        ORDER BY n_name
+    """,
+    "set_union_hubs": """
+        SELECT nk, min(origin) AS winner FROM (
+          SELECT DISTINCT s_nationkey AS nk, 'supplier' AS origin FROM supplier
+          UNION ALL
+          SELECT DISTINCT c_nationkey, 'customer' FROM customer
+        ) GROUP BY nk
+    """,
+    "dedup_skip": """
+        SELECT l_orderkey, l_linenumber, l_partkey
+        FROM (SELECT l_orderkey, l_linenumber, l_partkey,
+                     row_number() OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_linenumber, l_partkey) AS rn
+              FROM lineitem)
+        WHERE rn = 1
+    """,
+    "sort_pop_last": """
+        SELECT l_orderkey,
+               max_by(l_partkey, l_linenumber * 10000000 + l_partkey)
+                 AS popped_partkey,
+               max(l_linenumber) AS popped_index,
+               count(*) - 1 AS n_remaining
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "agg_distinct_sources": """
+        SELECT DISTINCT source FROM documents ORDER BY source
+    """,
+    "agg_usage_cost": """
+        SELECT event_type,
+               round(sum(value * CASE WHEN event_type = 'purchase' THEN 0.03
+                                      WHEN event_type = 'view' THEN 0.001
+                                      ELSE 0.0001 END), 3) AS cost,
+               count(*) AS n_calls
+        FROM events GROUP BY event_type
+    """,
+    "topk_per_group": """
+        SELECT c_mktsegment, o_orderkey, price, rk FROM (
+          SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS price,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY round(o_totalprice, 2) DESC,
+                                             o_orderkey) AS rk
+          FROM orders JOIN customer ON o_custkey = c_custkey
+        ) WHERE rk <= 3
+    """,
+    "mm_metadata": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+               16 + octet_length(encode(text)) AS n_bytes,
+               'fake' AS codec,
+               CAST(n_chars % 64 + 1 AS INT) AS width,
+               CAST(doc_id % 32 + 1 AS INT) AS height
+        FROM documents
+    """,
+    "mm_frame_sample": """
+        WITH vids AS (
+          SELECT doc_id, text, octet_length(encode(text)) AS body_len
+          FROM documents WHERE doc_id % 3 = 2
+        ), offs AS (
+          SELECT doc_id, text, unnest(range(0, greatest(body_len - 8, 0) + 1, 64))
+                   AS band_offset
+          FROM vids
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY band_offset) - 1
+                    AS INT) AS frame_idx,
+               base64(encode(substring(text, CAST(band_offset AS INT) + 1, 8)))
+                 AS frame_b64
+        FROM offs
     """,
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
