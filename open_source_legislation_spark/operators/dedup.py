@@ -121,9 +121,11 @@ def minhash_lsh_pairs(
     """MinHash+LSH near-dup candidates, verified by true Jaccard.
 
     band → bucket-join on the band signature (docs colliding in ≥1 band
-    become candidates) → verify with exact shingle Jaccard ≥ threshold.
-    The band join is the scale path: shuffle volume is #docs × #bands,
-    never quadratic. Output: (doc_a, doc_b, jaccard).
+    become candidates) → verify with exact shingle Jaccard ≥ threshold,
+    computed ONLY for candidate pairs (shingles joined through the candidate
+    list, never the all-pairs co-occurrence join — that would defeat the
+    LSH pruning). The band join is the scale path: shuffle volume is
+    #docs × #bands, never quadratic. Output: (doc_a, doc_b, jaccard).
     """
     rows_per_band = num_perm // bands
     sig = minhash_signatures(docs, n, num_perm)
@@ -158,17 +160,45 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
-    verified = ngram_jaccard_pairs(docs, n, threshold)
-    return cands.join(verified, ["doc_a", "doc_b"], "inner").select(
-        "doc_a", "doc_b", "jaccard"
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh.select(
+        F.col("doc_id").alias("_doc_b2"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        cands.join(a_sh, "doc_a")
+        .join(
+            b_sh,
+            (F.col("doc_b") == F.col("_doc_b2"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 3),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """(doc_id, simhash) — SimHash as a `bits`-char 0/1 string.
 
-    Two hash-aggregates: (doc, bit) ± votes from token hashes, then the
-    ordered bit concat. A string keeps the value portable to the SQL oracle
+    One hash-aggregate with `bits` columnar ±1-vote sums per doc, then the
+    bit concat. A string keeps the value portable to the SQL oracle
     (no signed-bigint edge cases). 32 bits because the portable hash is
     32-bit (first 8 md5 hex chars)."""
     toks = (
@@ -176,43 +206,21 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
         .filter(F.length("tok") > 0)
         .withColumn("h", _h64(F.col("tok")))
     )
-    votes = (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bits - 1)),
-                    lambda b: F.struct(
-                        b.alias("bit"),
-                        # (h >> b) & 1 with a Column shift amount: h < 2^32
-                        # so h / 2^b is exact in double; cast truncates
-                        F.when(
-                            (F.col("h") / F.pow(F.lit(2.0), b.cast("double")))
-                            .cast("bigint")
-                            % 2
-                            == 1,
-                            1,
-                        )
-                        .otherwise(-1)
-                        .alias("v"),
-                    ),
-                )
-            ).alias("bv"),
-        )
-        .groupBy("doc_id", F.col("bv.bit").alias("bit"))
-        .agg(F.sum(F.col("bv.v")).alias("s"))
-    )
-    return (
-        votes.groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("bit", "s"))),
-                    lambda x: F.when(x["s"] > 0, "1").otherwise("0"),
-                ),
-            ).alias("simhash")
-        )
+    # one hash-aggregate with `bits` columnar ±1 sums — no doc×bit explode
+    # (32× fewer shuffle rows than the (doc, bit) two-pass shape)
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*aggs)
+    return per_doc.select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            *[F.when(F.col(f"s{b}") > 0, "1").otherwise("0") for b in range(bits)],
+        ).alias("simhash"),
     )
 
 

@@ -45,6 +45,17 @@ _HIER_TYPE = T.StructType(
         T.StructField("name", T.StringType()),
     ]
 )
+# fused per-turn features: one Arrow round-trip instead of three
+# (clean + hierarchy marker + definitions header)
+_FEATURES_TYPE = T.StructType(
+    [
+        T.StructField("clean_text", T.StringType()),
+        T.StructField("classifier", T.StringType()),
+        T.StructField("number", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("defs_header", T.BooleanType()),
+    ]
+)
 _MENTIONS_TYPE = T.ArrayType(
     T.StructType(
         [
@@ -65,6 +76,56 @@ _DEFS_TYPE = T.ArrayType(
         ]
     )
 )
+
+
+@pandas_udf(_FEATURES_TYPE)
+def turn_features_udf(texts: pd.Series) -> pd.DataFrame:
+    """Fused per-turn kernel: clean_text + parse_hierarchy_marker +
+    is_definitions_header in ONE Arrow batch transfer. At 10^12 turns the
+    JVM↔Python hop dominates kernel cost, so the three scalar rules run
+    fused over each batch (they all need the full text anyway)."""
+    cleaned = texts.map(rules.clean_text)
+    parsed = cleaned.map(rules.parse_hierarchy_marker)
+    return pd.DataFrame(
+        {
+            "clean_text": cleaned,
+            "classifier": parsed.map(lambda t: t[0] if t else None),
+            "number": parsed.map(lambda t: t[1] if t else None),
+            "name": parsed.map(lambda t: t[2] if t else None),
+            "defs_header": cleaned.map(rules.is_definitions_header),
+        }
+    )
+
+
+_EXTRACTIONS_TYPE = T.StructType(
+    [
+        T.StructField("mentions", _MENTIONS_TYPE),
+        T.StructField("defs", _DEFS_TYPE),
+    ]
+)
+
+
+@pandas_udf(_EXTRACTIONS_TYPE)
+def extractions_udf(texts: pd.Series, in_scope: pd.Series) -> pd.DataFrame:
+    """Fused mention + definition extraction — one Arrow round-trip for the
+    two content kernels (reference scrapeECFR.py:1112-1172 + 530-837)."""
+    mentions = texts.map(
+        lambda t: [
+            (m["mention_text"], m["corpus"], m["raw_key"], m["start"])
+            for m in rules.extract_mentions(t)
+        ]
+    )
+    defs = pd.Series(
+        [
+            [
+                (d["term"], d["definition"], d["kind"], d["incorporated_from"])
+                for d in rules.extract_definitions(t, bool(s))
+            ]
+            for t, s in zip(texts, in_scope)
+        ],
+        index=texts.index,
+    )
+    return pd.DataFrame({"mentions": mentions, "defs": defs})
 
 
 @pandas_udf(_HIER_TYPE)
@@ -148,14 +209,29 @@ def derive_nodes(ordered: DataFrame) -> DataFrame:
     w = Window.partitionBy("conv_id").orderBy("ord")
     w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
 
-    df = (
-        ordered.withColumn("hier", hierarchy_marker_udf("clean_text"))
-        .withColumn("level_classifier", F.col("hier.classifier"))
-        .withColumn("level_number", F.col("hier.number"))
-        .withColumn("node_name", F.col("hier.name"))
-        .drop("hier")
-        .withColumn("root_id", conv_root_col(F.col("conv_id")))
-    )
+    if "clean_text" in ordered.columns:
+        # caller already cleaned (standalone use) — parse markers only
+        df = (
+            ordered.withColumn("hier", hierarchy_marker_udf("clean_text"))
+            .withColumn("level_classifier", F.col("hier.classifier"))
+            .withColumn("level_number", F.col("hier.number"))
+            .withColumn("node_name", F.col("hier.name"))
+            .withColumn("_defs_header_c", definitions_header_udf("clean_text"))
+            .drop("hier")
+        )
+    else:
+        # fused path (the pipeline): clean + marker + defs-header in one
+        # Arrow round-trip
+        df = (
+            ordered.withColumn("feat", turn_features_udf("text"))
+            .withColumn("clean_text", F.col("feat.clean_text"))
+            .withColumn("level_classifier", F.col("feat.classifier"))
+            .withColumn("level_number", F.col("feat.number"))
+            .withColumn("node_name", F.col("feat.name"))
+            .withColumn("_defs_header_c", F.col("feat.defs_header"))
+            .drop("feat")
+        )
+    df = df.withColumn("root_id", conv_root_col(F.col("conv_id")))
 
     # per-rank running (ord, id) of the most recent final node id
     last_cols: list[str] = []
@@ -224,22 +300,31 @@ def derive_nodes(ordered: DataFrame) -> DataFrame:
         )
         # definitions scope: opened by a Definitions. header, closed by any
         # hierarchy node (reference scope semantics, scrapeECFR.py:301-351)
-        .withColumn("_defs_header", definitions_header_udf("clean_text"))
         .withColumn(
             "in_defs_scope",
             F.coalesce(
                 F.last(
                     F.when(F.col("node_id").isNotNull(), F.lit(False)).when(
-                        F.col("_defs_header"), F.lit(True)
+                        F.col("_defs_header_c"), F.lit(True)
                     ),
                     ignorenulls=True,
                 ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
                 F.lit(False),
             ),
         )
-        .drop("_defs_header", *[f"_last_{lv}" for lv in _RANKED_LEVELS],
+        .drop("_defs_header_c", *[f"_last_{lv}" for lv in _RANKED_LEVELS],
               *[f"_fin_{lv}" for lv in _RANKED_LEVELS],
               *[f"_raw_{lv}" for lv in _RANKED_LEVELS])
+    )
+    # fused content kernel, computed once here so a persist() of this frame
+    # caches the extractions and the downstream mention/definition explodes
+    # stay JVM-only (node-marker turns yield no content extractions)
+    df = df.withColumn(
+        "extractions",
+        F.when(
+            F.col("node_id").isNull(),
+            extractions_udf("clean_text", "in_defs_scope"),
+        ),
     )
     _ = w_prev  # parent resolution uses up-to-current lasts of higher levels only
     return df
@@ -289,7 +374,7 @@ def extract_mentions(derived: DataFrame) -> DataFrame:
             "conv_id",
             "turn_idx",
             "current_node",
-            F.explode(mentions_udf("clean_text")).alias("m"),
+            F.explode("extractions.mentions").alias("m"),
         )
         .select(
             "conv_id",
@@ -314,7 +399,7 @@ def extract_definitions(derived: DataFrame) -> DataFrame:
             "conv_id",
             "turn_idx",
             "current_node",
-            F.explode(definitions_udf("clean_text", "in_defs_scope")).alias("d"),
+            F.explode("extractions.defs").alias("d"),
         )
         .select(
             "conv_id",

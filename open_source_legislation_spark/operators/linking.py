@@ -6,14 +6,17 @@ pop-level / zero-pad backoff — an N+1-query correlated lookup) with:
 
 1. a scalar pandas UDF generating the *ranked candidate keys* per mention
    (exact → zero-padded → popped level, shared with the oracle via
-   ``rules.candidate_keys``);
-2. one exploded **broadcast hash join** against the alias-exploded canonical
-   dictionary;
-3. ``min_by(priority)`` per mention to keep the highest-priority hit.
+   ``rules.candidate_keys``); at most ONE candidate exists per priority, so
+   the ladder is three nullable key columns, not an exploded array;
+2. one **broadcast hash join per rung** against the alias-exploded canonical
+   dictionary — three map-side joins, zero shuffles;
+3. ``coalesce`` in priority order picks the highest-priority hit.
 
 At 10^12 turns the dictionary is the small side (bounded vocabulary of
-canonical entities) — broadcast keeps the join shuffle-free; the only wide
-operation is the per-mention ``groupBy``, which reuses the mention id.
+canonical entities) — the whole linking stage is narrow: no exchange of the
+mention stream at all (the earlier design exploded candidates and grouped
+back by a mention id, i.e. two full shuffles of the stream; this one has
+none).
 """
 
 from __future__ import annotations
@@ -38,6 +41,37 @@ def candidate_keys_udf(raw_keys: pd.Series) -> pd.Series:
     return raw_keys.map(lambda k: rules.candidate_keys(k) if k is not None else [])
 
 
+_CAND3_TYPE = T.StructType(
+    [
+        T.StructField("k1", T.StringType()),
+        T.StructField("k2", T.StringType()),
+        T.StructField("k3", T.StringType()),
+    ]
+)
+
+
+@pandas_udf(_CAND3_TYPE)
+def candidate_keys3_udf(raw_keys: pd.Series) -> pd.DataFrame:
+    """The ladder as three nullable columns (priority 1/2/3) — same
+    ``rules.candidate_keys`` spec, join-friendly shape."""
+
+    def three(k):
+        out = {1: None, 2: None, 3: None}
+        if k is not None:
+            for p, key in rules.candidate_keys(k):
+                out[p] = key
+        return out
+
+    cols = raw_keys.map(three)
+    return pd.DataFrame(
+        {
+            "k1": cols.map(lambda d: d[1]),
+            "k2": cols.map(lambda d: d[2]),
+            "k3": cols.map(lambda d: d[3]),
+        }
+    )
+
+
 def alias_index(entity_dict: DataFrame) -> DataFrame:
     """Explode the dictionary to ``(alias_key, entity_id)``, first writer
     wins on alias collisions (stable by entity_id) — the oracle's
@@ -56,18 +90,23 @@ def link_mentions(mentions: DataFrame, entity_dict: DataFrame) -> DataFrame:
     retrying forever, ``3_process.py:51-56``).
     """
     idx = alias_index(entity_dict)
-    with_mid = mentions.withColumn(
-        "_mid", F.monotonically_increasing_id()
-    )  # join-back key only; never used for ordering semantics
-    cands = with_mid.select(
-        "_mid", F.explode(candidate_keys_udf("raw_key")).alias("c")
-    ).select("_mid", F.col("c.priority").alias("priority"), F.col("c.key").alias("key"))
-    hits = (
-        cands.join(F.broadcast(idx), cands["key"] == idx["alias_key"], "inner")
-        .groupBy("_mid")
-        .agg(
-            F.min_by("entity_id", "priority").alias("entity_id"),
-            F.min("priority").alias("link_priority"),
+    out = mentions.withColumn("_c", candidate_keys3_udf("raw_key"))
+    for p in (1, 2, 3):
+        idx_p = idx.select(
+            F.col("alias_key").alias(f"_ak{p}"), F.col("entity_id").alias(f"_e{p}")
         )
+        out = out.join(
+            F.broadcast(idx_p),
+            F.col("_c").getField(f"k{p}") == F.col(f"_ak{p}"),
+            "left",
+        ).drop(f"_ak{p}")
+    return (
+        out.withColumn("entity_id", F.coalesce("_e1", "_e2", "_e3"))
+        .withColumn(
+            "link_priority",
+            F.when(F.col("_e1").isNotNull(), 1)
+            .when(F.col("_e2").isNotNull(), 2)
+            .when(F.col("_e3").isNotNull(), 3),
+        )
+        .drop("_c", "_e1", "_e2", "_e3")
     )
-    return with_mid.join(hits, "_mid", "left").drop("_mid")

@@ -42,7 +42,11 @@ def conv_root_col(conv_id: Column) -> Column:
     return F.concat(F.lit("conv="), conv_id)
 
 
-def ordered_turns(transcripts: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def ordered_turns(
+    transcripts: DataFrame,
+    num_partitions: int | None = None,
+    clean: bool = True,
+) -> DataFrame:
     """Dedup + stable order + clean.
 
     - exact ``(conv_id, turn_idx)`` duplicates resolved first-writer-wins by
@@ -57,13 +61,17 @@ def ordered_turns(transcripts: DataFrame, num_partitions: int | None = None) -> 
         df = df.repartition(num_partitions, "conv_id")
     w_dup = Window.partitionBy("conv_id", "turn_idx").orderBy("ts", "text")
     w_ord = Window.partitionBy("conv_id").orderBy("turn_idx")
-    return (
+    out = (
         df.withColumn("dup_rank", F.row_number().over(w_dup))
         .filter(F.col("dup_rank") == 1)
         .drop("dup_rank")
         .withColumn("ord", F.row_number().over(w_ord))
-        .withColumn("clean_text", clean_text_udf("text"))
     )
+    if clean:
+        out = out.withColumn("clean_text", clean_text_udf("text"))
+    # clean=False: the caller fuses cleaning into its own kernel
+    # (extract.turn_features_udf) to save an Arrow round-trip
+    return out
 
 
 def reassemble_documents(

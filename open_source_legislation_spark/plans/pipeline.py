@@ -109,7 +109,11 @@ def run_pipeline(
     num_partitions: int | None = None,
     canonicalize_triples: bool = False,
 ) -> PipelineResult:
-    ordered = reassembly.ordered_turns(transcripts, num_partitions=num_partitions)
+    # clean=False: cleaning runs fused with the marker/defs-header parse
+    # inside derive_nodes (one Arrow round-trip over the full text column)
+    ordered = reassembly.ordered_turns(
+        transcripts, num_partitions=num_partitions, clean=False
+    )
     derived = extract.derive_nodes(ordered)
     # the stateful per-conv stage feeds three consumers — cache it
     derived = derived.persist()
