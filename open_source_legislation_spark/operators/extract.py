@@ -330,6 +330,130 @@ def derive_nodes(ordered: DataFrame) -> DataFrame:
     return df
 
 
+_DERIVED_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("ord", T.IntegerType()),
+        T.StructField("clean_text", T.StringType()),
+        T.StructField("level_classifier", T.StringType()),
+        T.StructField("node_name", T.StringType()),
+        T.StructField("node_id", T.StringType()),
+        T.StructField("node_raw_id", T.StringType()),
+        T.StructField("node_parent", T.StringType()),
+        T.StructField("node_status", T.StringType()),
+        T.StructField("current_node", T.StringType()),
+        T.StructField("in_defs_scope", T.BooleanType()),
+        T.StructField("extractions", _EXTRACTIONS_TYPE),
+    ]
+)
+
+
+def derive_nodes_stream(
+    transcripts: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Streaming stack-machine derive — the scale path.
+
+    ``repartition(hash(conv_id)) → sortWithinPartitions(conv_id, turn_idx,
+    ts, text) → mapInPandas(kernel)``: ONE exchange, ONE JVM sort, ONE
+    Python pass. The kernel walks each sorted partition with a running
+    parent stack (the reference's per-document cursor, scrapeCA.py:150-221),
+    first-writer-wins turn dedup (scrapingHelpers.py:110-114), duplicate-id
+    versioning (scrapingHelpers.py:61-115), definitions-scope tracking
+    (scrapeECFR.py:530-560), and the mention/definition regex kernels —
+    state carries across Arrow batches inside a partition, so hot
+    conversations cost time, not memory (state is O(stack depth)).
+
+    Produces the same frame as :func:`derive_nodes` (windows engine); the
+    equivalence of the two engines is itself a test invariant.
+    """
+    from collections.abc import Iterator
+
+    df = transcripts
+    if num_partitions:
+        df = df.repartition(num_partitions, "conv_id")
+    else:
+        df = df.repartition("conv_id")
+    df = df.sortWithinPartitions("conv_id", "turn_idx", "ts", "text")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ranks = rules.LEVEL_RANKS
+        # mutable per-conversation state, carried across Arrow batches
+        conv = None
+        stack: list[tuple[int, str]] = []
+        current_node = ""
+        in_defs = False
+        id_counts: dict[str, int] = {}
+        last_turn = -1
+        ord_ctr = 0
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in _DERIVED_SCHEMA.fields}
+            app = {k: v.append for k, v in out.items()}
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                if conv_id != conv:
+                    conv = conv_id
+                    stack = []
+                    current_node = rules.conv_root_id(conv_id)
+                    in_defs = False
+                    id_counts = {}
+                    last_turn = -1
+                    ord_ctr = 0
+                elif turn_idx == last_turn:
+                    continue  # first-writer-wins duplicate
+                last_turn = turn_idx
+                ord_ctr += 1
+                clean = rules.clean_text(text)
+                hier = rules.parse_hierarchy_marker(clean)
+                node_id = raw_id = parent = status = classifier = name = None
+                extractions = None
+                if hier is not None:
+                    classifier, number, name = hier
+                    rank = ranks[classifier]
+                    while stack and stack[-1][0] >= rank:
+                        stack.pop()
+                    parent = stack[-1][1] if stack else rules.conv_root_id(conv_id)
+                    raw_id = rules.id_add_level(parent, classifier, number)
+                    n = id_counts[raw_id] = id_counts.get(raw_id, 0) + 1
+                    node_id = raw_id if n == 1 else f"{raw_id}-v_{n}"
+                    stack.append((rank, node_id))
+                    current_node = node_id
+                    in_defs = False
+                    status = rules.node_status(name)
+                else:
+                    if rules.is_definitions_header(clean):
+                        in_defs = True
+                    extractions = (
+                        [
+                            (m["mention_text"], m["corpus"], m["raw_key"], m["start"])
+                            for m in rules.extract_mentions(clean)
+                        ],
+                        [
+                            (d["term"], d["definition"], d["kind"], d["incorporated_from"])
+                            for d in rules.extract_definitions(clean, in_defs)
+                        ],
+                    )
+                app["conv_id"](conv_id)
+                app["turn_idx"](turn_idx)
+                app["ord"](ord_ctr)
+                app["clean_text"](clean)
+                app["level_classifier"](classifier)
+                app["node_name"](name)
+                app["node_id"](node_id)
+                app["node_raw_id"](raw_id)
+                app["node_parent"](parent)
+                app["node_status"](status)
+                app["current_node"](current_node)
+                app["in_defs_scope"](in_defs)
+                app["extractions"](extractions)
+            if out["conv_id"]:
+                yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, schema=_DERIVED_SCHEMA)
+
+
 def nodes_table(derived: DataFrame) -> DataFrame:
     """Materialize the nodes table (reference CLAUDE.md:514-536 shape),
     including one root node per conversation."""

@@ -108,13 +108,24 @@ def run_pipeline(
     alias_edges: DataFrame | None = None,
     num_partitions: int | None = None,
     canonicalize_triples: bool = False,
+    engine: str = "stream",
 ) -> PipelineResult:
-    # clean=False: cleaning runs fused with the marker/defs-header parse
-    # inside derive_nodes (one Arrow round-trip over the full text column)
-    ordered = reassembly.ordered_turns(
-        transcripts, num_partitions=num_partitions, clean=False
-    )
-    derived = extract.derive_nodes(ordered)
+    """``engine="stream"`` (default): one exchange + one JVM sort + one
+    Python pass (mapInPandas stack machine — extract.derive_nodes_stream);
+    ``engine="windows"``: the declarative window-cascade derive. Both
+    produce identical frames (tested equivalence) — windows is kept as the
+    pure-Catalyst reference plan, stream is the scale/throughput path."""
+    if engine == "stream":
+        derived = extract.derive_nodes_stream(
+            transcripts, num_partitions=num_partitions
+        )
+    else:
+        # clean=False: cleaning runs fused with the marker/defs-header parse
+        # inside derive_nodes (one Arrow round-trip over the full text column)
+        ordered = reassembly.ordered_turns(
+            transcripts, num_partitions=num_partitions, clean=False
+        )
+        derived = extract.derive_nodes(ordered)
     # the stateful per-conv stage feeds three consumers — cache it
     derived = derived.persist()
 

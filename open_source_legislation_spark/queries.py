@@ -495,6 +495,44 @@ def q_topk_per_group(spark, sf_dir):
     )
 
 
+def q_src_json_parse(spark, sf_dir):
+    """SURVEY §2.1 src_json / §2.9 JSON scalars — schema-enforced parse of
+    the embedded JSON column (from_json with explicit StructType, never
+    inference; reference readAZ.py:16-40 JSON source +
+    utilityFunctions.py:429-431 json round-trip)."""
+    from pyspark.sql import types as T
+
+    e = _t(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    return e.select(
+        "event_id",
+        F.from_json("props", schema).getField("k").alias("k"),
+        F.to_json(F.struct(F.col("event_type").alias("t"))).alias("packed"),
+    )
+
+
+def q_window_session(spark, sf_dir):
+    """SURVEY §2.11 session windows — sessionization by inactivity gap
+    (> 1 hour), the batch shape of F.session_window: per user, lag-gap flag
+    → running cumsum session id → per-session aggregates."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 3600), 1).otherwise(0)
+    sess = (
+        e.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_no",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
 def q_mm_metadata(spark, sf_dir):
     """Multimodal plumbing — binary payloads + typed header parse via
     mapInPandas (operators/multimodal.py)."""
@@ -595,6 +633,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_distinct_sources": q_agg_distinct_sources,
     "agg_usage_cost": q_agg_usage_cost,
     "topk_per_group": q_topk_per_group,
+    "src_json_parse": q_src_json_parse,
+    "window_session": q_window_session,
     "mm_metadata": q_mm_metadata,
     "mm_frame_sample": q_mm_frame_sample,
     "dedup_exact": q_dedup_exact,
@@ -890,6 +930,30 @@ ORACLE_SQL: dict[str, str] = {
                                              o_orderkey) AS rk
           FROM orders JOIN customer ON o_custkey = c_custkey
         ) WHERE rk <= 3
+    """,
+    "src_json_parse": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               json_object('t', event_type) AS packed
+        FROM events
+    """,
+    "window_session": """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, value,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM flagged
+        )
+        SELECT user_id, session_no, count(*) AS n_events,
+               round(sum(value), 2) AS session_value
+        FROM sess GROUP BY user_id, session_no
     """,
     "mm_metadata": """
         SELECT doc_id,

@@ -26,7 +26,7 @@ TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "500000"))
 BASE_DATA = os.path.join(REPO, "BENCH", "data", f"transcripts_{TURNS}")
 # the scaling run needs a big enough input that compute dominates fixed
 # overhead (scheduling, worker spin-up) — replicate the base corpus
-REPL = int(os.environ.get("SPARK_GRAFT_SCALING_REPL", "16"))
+REPL = int(os.environ.get("SPARK_GRAFT_SCALING_REPL", "32"))
 DATA = BASE_DATA if REPL <= 1 else f"{BASE_DATA}_x{REPL}"
 
 
@@ -64,9 +64,13 @@ def child(master: str) -> None:
     spark = get_spark(
         app_name=f"osl-scaling-{cores}",
         master=master,
-        # shuffle partitions scale with cores (what spark-submit conf would
-        # do on a real N vs 4N cluster); AQE coalesces the tail.
-        extra_conf={"spark.sql.shuffle.partitions": str(cores)},
+        # shuffle partitions AND heap scale with cores — a real 4N cluster
+        # has 4x the aggregate memory, so per-core memory is held constant
+        # (0.75 GB/core); AQE coalesces the partition tail.
+        extra_conf={
+            "spark.sql.shuffle.partitions": str(cores),
+            "spark.driver.memory": f"{max(int(cores * 1.0), 4)}g",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     entity_dict = spark.createDataFrame(
