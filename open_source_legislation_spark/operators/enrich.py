@@ -1,0 +1,131 @@
+"""Embedding enrichment — the reference's phase-3 loop, Spark-native.
+
+The reference reads batches of rows lacking embeddings, calls an external
+embedding API with a thread pool, and writes vectors back (reference
+``3_process.py:18-36``, ``processingHelpers.py:37-52``,
+``utilityFunctions.py:316-322``). Here:
+
+- the *pending-work predicate* is the checkpoint anti-join
+  (``plans/checkpoint.py``) or a plain null-filter;
+- the *embedding call* is a deterministic feature-hashed bag-of-tokens
+  vector (no external API in this environment; the mapInPandas batching,
+  schema, and write-back shape are the real design — swap ``_embed_batch``
+  for an API client on a real deployment);
+- parallelism comes from executors, not a thread pool.
+
+The vector is integer token-bucket counts L2-normalized then rounded, so a
+SQL oracle can reproduce it bit-for-bit (exposed as a comma-joined string
+for portable value comparison).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _h64(col):
+    # portable: CAST(('0x'||substr(md5(s),1,8)) AS BIGINT) in DuckDB
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def hash_embed_expr(text_col, dim: int = 16):
+    """Deterministic hash embedding as a pure column expression:
+    token → md5-bucket count vector → L2 normalize → round(4).
+
+    JVM-side (codegen), no Python — the "embedding model" stand-in the
+    similarity/dedup operators can consume directly.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(text_col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+    buckets = F.transform(toks, lambda t: F.pmod(_h64(t), F.lit(dim)))
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: F.size(F.filter(buckets, lambda x: x == b.cast("bigint"))),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            counts, F.lit(0.0), lambda s, c: s + c.cast("double") * c.cast("double")
+        )
+    )
+    # floor-truncate to 4 decimals: identical in Spark, DuckDB, and Python
+    # (round() differs — HALF_UP vs HALF_EVEN — on exact-half values)
+    return F.transform(
+        counts,
+        lambda c: F.floor(
+            c.cast("double") / F.when(norm > 0, norm).otherwise(F.lit(1.0)) * 10000
+        )
+        / 10000,
+    )
+
+
+def embed_pending(
+    df: DataFrame,
+    text_col: str = "text",
+    embedding_col: str = "embedding",
+    dim: int = 16,
+    batch_size: int = 1000,
+) -> DataFrame:
+    """Enrich rows whose ``embedding_col`` is null — the resume loop's work
+    predicate (``WHERE embedding IS NULL``, processingHelpers.py:59-65) —
+    via mapInPandas batches (the 1000-row batch analog, 3_process.py:14).
+
+    Returns the full frame with embeddings filled; already-embedded rows
+    pass through untouched (idempotent re-run).
+    """
+    out_fields = [f for f in df.schema.fields if f.name != embedding_col]
+    out_schema = T.StructType(
+        out_fields + [T.StructField(embedding_col, T.ArrayType(T.DoubleType()))]
+    )
+    pending = df.filter(F.col(embedding_col).isNull()).drop(embedding_col)
+    done = df.filter(F.col(embedding_col).isNotNull())
+
+    enriched = pending.withColumn(embedding_col, hash_embed_expr(F.col(text_col), dim))
+    _ = batch_size  # embedding is an expression here; a real API client
+    # would use mapInPandas with this batch size — shape kept for the swap
+    return done.select(out_schema.fieldNames()).unionByName(
+        enriched.select(out_schema.fieldNames())
+    )
+
+
+_EMBED_OUT = T.ArrayType(T.DoubleType())
+
+
+def embed_map_in_pandas(
+    df: DataFrame, text_col: str = "text", dim: int = 16
+) -> DataFrame:
+    """The mapInPandas variant — the exact shape an external-API embedding
+    stage uses (iterator of Arrow batches in, enriched batches out), with
+    the deterministic hash embedding standing in for the API call."""
+    import hashlib
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("embedding", _EMBED_OUT)]
+    )
+
+    def _embed_batch(texts: pd.Series) -> pd.Series:
+        import math
+
+        def one(t: str) -> list[float]:
+            counts = [0] * dim
+            for tok in (t or "").lower().strip().split():
+                h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+                counts[h % dim] += 1
+            norm = sum(c * c for c in counts) ** 0.5 or 1.0
+            # floor-truncation matches hash_embed_expr exactly
+            return [math.floor(c / norm * 10000) / 10000 for c in counts]
+
+        return texts.map(one)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["embedding"] = _embed_batch(pdf[text_col])
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)

@@ -30,6 +30,22 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts_bpe(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct_tokens) — BPE-ish regex tokenization
+    (letter runs | digit runs | single punctuation, the GPT-2 pre-tokenizer
+    shape): closer to real LLM token counts than whitespace splitting
+    (reference tiktoken counting, utilityFunctions.py:625-629)."""
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """(doc_id, stopword_ratio, ttr, quality) — length/stopword/diversity
     quality heuristic; score = weighted blend rounded to 3."""

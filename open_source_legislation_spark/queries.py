@@ -590,6 +590,26 @@ def q_ta_tokens(spark, sf_dir):
     return text_analysis.token_counts(_t(spark, sf_dir, "documents"))
 
 
+def q_ta_tokens_bpe(spark, sf_dir):
+    return text_analysis.token_counts_bpe(_t(spark, sf_dir, "documents"))
+
+
+def q_enrich_hash_embed(spark, sf_dir):
+    """Phase-3 embedding enrichment (operators/enrich.py): deterministic
+    feature-hashed embedding as a codegen'd expression; exposed as a
+    comma-joined string for portable value comparison."""
+    from .operators import enrich
+
+    d = _t(spark, sf_dir, "documents")
+    emb = enrich.hash_embed_expr(F.col("text"), dim=8)
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform(emb, lambda x: F.format_number(x, 4))
+        ).alias("emb"),
+    )
+
+
 def q_ta_quality(spark, sf_dir):
     return text_analysis.quality_scores(_t(spark, sf_dir, "documents"))
 
@@ -645,6 +665,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_topk_ivf": q_sim_topk_ivf,
     "ta_tokens": q_ta_tokens,
+    "ta_tokens_bpe": q_ta_tokens_bpe,
+    "enrich_hash_embed": q_enrich_hash_embed,
     "ta_quality": q_ta_quality,
     "ta_langid": q_ta_langid,
     "ta_fingerprint": q_ta_fingerprint,
@@ -1028,6 +1050,38 @@ ORACLE_SQL: dict[str, str] = {
                len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
                  AS n_distinct_tokens
         FROM documents
+    """,
+    "ta_tokens_bpe": """
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text),
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS n_tokens,
+               len(list_distinct(regexp_extract_all(lower(text),
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0))) AS n_distinct_tokens
+        FROM documents
+    """,
+    "enrich_hash_embed": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+          FROM documents
+        ), h AS (
+          SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 8 AS b
+          FROM toks WHERE length(tok) > 0
+        ), counts AS (
+          SELECT doc_id, b, count(*) AS c FROM h GROUP BY 1, 2
+        ), grid AS (
+          SELECT d.doc_id, g.b, coalesce(c.c, 0) AS c
+          FROM (SELECT DISTINCT doc_id FROM documents) d
+          CROSS JOIN (SELECT unnest(range(0, 8)) AS b) g
+          LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.b = g.b
+        ), nrm AS (
+          SELECT doc_id, sqrt(sum(c * c)) AS n FROM grid GROUP BY doc_id
+        )
+        SELECT g.doc_id,
+               string_agg(printf('%.4f',
+                 floor(g.c / (CASE WHEN nrm.n > 0 THEN nrm.n ELSE 1 END) * 10000)
+                 / 10000), ',' ORDER BY g.b) AS emb
+        FROM grid g JOIN nrm USING (doc_id)
+        GROUP BY g.doc_id
     """,
     "ta_quality": """
         WITH t AS (

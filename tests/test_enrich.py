@@ -1,0 +1,68 @@
+"""Embedding enrichment (operators/enrich.py) — the reference's phase-3
+loop: pending-work predicate, batched enrichment, idempotent re-run, and
+equivalence of the expression and mapInPandas variants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from open_source_legislation_spark.operators import enrich
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox", None),
+        (1, "jumps over the lazy dog", None),
+        (2, "already embedded row", [1.0, 0.0]),
+        (3, "", None),
+        (4, "the the the", None),
+    ]
+    return spark.createDataFrame(rows, schema=SCHEMA)
+
+
+def test_embed_pending_fills_only_nulls(docs):
+    out = enrich.embed_pending(docs, dim=8).collect()
+    by_id = {r["doc_id"]: r["embedding"] for r in out}
+    assert by_id[2] == [1.0, 0.0]  # untouched passthrough
+    assert all(by_id[i] is not None for i in (0, 1, 3, 4))
+    # unit norm (floor-truncated, so <= 1 and close for non-empty docs)
+    s = sum(v * v for v in by_id[0])
+    assert 0.97 <= s <= 1.0
+    assert by_id[3] == [0.0] * 8  # empty text → zero vector
+
+
+def test_embed_pending_idempotent(docs):
+    once = enrich.embed_pending(docs, dim=8)
+    twice = enrich.embed_pending(once, dim=8)
+    a = sorted(map(tuple, once.select("doc_id", "embedding").collect()))
+    b = sorted(map(tuple, twice.select("doc_id", "embedding").collect()))
+    assert [(i, tuple(e)) for i, e in a] == [(i, tuple(e)) for i, e in b]
+
+
+def test_expr_and_mapinpandas_variants_agree(docs):
+    expr = docs.drop("embedding").withColumn(
+        "embedding", enrich.hash_embed_expr(F.col("text"), dim=16)
+    )
+    mip = enrich.embed_map_in_pandas(docs.drop("embedding"), dim=16)
+    a = {r["doc_id"]: tuple(r["embedding"]) for r in expr.collect()}
+    b = {r["doc_id"]: tuple(r["embedding"]) for r in mip.collect()}
+    assert a == b
+
+
+def test_deterministic_across_runs(docs):
+    a = {r["doc_id"]: tuple(r["embedding"])
+         for r in enrich.embed_pending(docs, dim=8).collect()}
+    b = {r["doc_id"]: tuple(r["embedding"])
+         for r in enrich.embed_pending(docs.repartition(5), dim=8).collect()}
+    assert a == b
