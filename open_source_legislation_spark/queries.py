@@ -622,6 +622,176 @@ def q_ta_fingerprint(spark, sf_dir):
     return text_analysis.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_join_parent_exists(spark, sf_dir):
+    """SURVEY §2.3 join_parent_exists — null-parent invariant
+    (CLAUDE.md:443-446): rows with a null parent key must be zero."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_custkey").isNull()).agg(
+        F.count("*").alias("n_null_parent")
+    )
+
+
+def q_flt_class_allow(spark, sf_dir):
+    """SURVEY §2.2 flt_class_allow — allowlist `isin` filter
+    (scrapeECFR.py:149,156-160): only allowed classes are descended."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_cust"))
+    )
+
+
+def q_flt_disallowed_class(spark, sf_dir):
+    """SURVEY §2.2 flt_disallowed_class — disallowed-classification filter
+    (scrapeECFR.py:546-565): rows matching the denylist are kept opaque,
+    not descended."""
+    p = _t(spark, sf_dir, "part")
+    deny = F.col("p_type").contains("BRASS") | F.col("p_type").contains("COPPER")
+    return (
+        p.filter(~deny)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"), F.round(F.sum("p_retailprice"), 2).alias("sum_price"))
+    )
+
+
+def q_prj_br_strip(spark, sf_dir):
+    """SURVEY §2.2 prj_br_strip — `<br>` unwrap + tag-residue strip + ws
+    collapse (2_scrape_regular.py:179-194, scrapingHelpers.py:218),
+    as a pure regexp_replace chain (whole-stage codegen, no UDF)."""
+    d = _t(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), r"(?i)<br\s*/?>", " "),
+                r"<[^>]+>",
+                "",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select("doc_id", cleaned.alias("cleaned"))
+
+
+def q_agg_refhub_merge(spark, sf_dir):
+    """SURVEY §2.5 agg_refhub_merge — ReferenceHub.combine dict-union
+    (pydanticModels.py:184-189): per-group key→count map merged into a
+    canonical sorted string for portable comparison."""
+    e = _t(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    return per_type.groupBy("user_id").agg(
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.collect_list(F.concat_ws(":", "event_type", F.col("n").cast("string")))
+            ),
+        ).alias("hub")
+    )
+
+
+def q_dedup_paragraph(spark, sf_dir):
+    """SURVEY §2.6 dedup_paragraph — merge-adjacent-same-id semantics
+    (pydanticModels.py:210-263): consecutive rows with the same class
+    collapse into one run; per group report run count and longest run."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    change = F.when(
+        F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), F.lit(0)
+    ).otherwise(F.lit(1))
+    runs = e.select(
+        "user_id",
+        "event_type",
+        F.sum(change).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("run_id"),
+    )
+    per_run = runs.groupBy("user_id", "run_id").agg(F.count("*").alias("run_len"))
+    return per_run.groupBy("user_id").agg(
+        F.count("*").alias("n_runs"), F.max("run_len").alias("max_run")
+    )
+
+
+def q_sort_paragraph_index(spark, sf_dir):
+    """SURVEY §2.7 sort_paragraph_index — in-node paragraph sort + first/last
+    by index (pydanticModels.py:287,294 / NodeText.pop :265-280) as
+    min_by/max_by ordered aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    # linenumbers can tie within an order in the synthetic data; lexicographic
+    # struct min/max keeps first/last deterministic on both engines
+    return li.groupBy("l_orderkey").agg(
+        F.round(
+            F.min(F.struct("l_linenumber", "l_quantity")).getField("l_quantity"), 2
+        ).alias("first_qty"),
+        F.round(
+            F.max(F.struct("l_linenumber", "l_quantity")).getField("l_quantity"), 2
+        ).alias("last_qty"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def q_agg_rollup_region_nation(spark, sf_dir):
+    """SURVEY §2.5 grouping-sets family — ROLLUP(region, nation) customer
+    counts (the per-level × per-status validation-count shape,
+    CLAUDE.md:438-441); complements agg_cube_level_status."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_cust"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_cust",
+        )
+    )
+
+
+def q_window_lead(spark, sf_dir):
+    """SURVEY §2.10 ordered analytics — `lead` over the stable per-group
+    ordering (next row at same level; sibling navigation, CLAUDE.md:535)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select("event_id", F.lead("event_id").over(w).alias("next_event_id"))
+
+
+def q_agg_total_rows(spark, sf_dir):
+    """SURVEY §2.5 agg_total_rows — per-batch counters + running total
+    (TOTAL_ROWS_READ loop, 3_process.py:19-35) as batch agg + cumulative
+    window."""
+    o = _t(spark, sf_dir, "orders")
+    per_batch = o.groupBy((F.col("o_orderkey") % 8).alias("batch")).agg(
+        F.count("*").alias("n_rows"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")
+    )
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    return per_batch.select(
+        "batch", "n_rows", "sum_price", F.sum("n_rows").over(w).alias("cum_rows")
+    )
+
+
+def q_snk_parquet_roundtrip(spark, sf_dir):
+    """SURVEY §2.1 snk_insert/snk_file — append sink + re-scan: write the
+    joined dimension to parquet (the Iceberg-append stand-in,
+    utilityFunctions.py:411-454), read it back, aggregate."""
+    import tempfile
+
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    out = f"{tempfile.gettempdir()}/oslspark_snk_roundtrip"
+    n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        "n_name", "r_name"
+    ).write.mode("overwrite").parquet(out)
+    return (
+        spark.read.parquet(out).groupBy("r_name").agg(F.count("*").alias("n_nations"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_count_by_level": q_agg_count_by_level,
     "join_orphan_anti": q_join_orphan_anti,
@@ -670,6 +840,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ta_quality": q_ta_quality,
     "ta_langid": q_ta_langid,
     "ta_fingerprint": q_ta_fingerprint,
+    "join_parent_exists": q_join_parent_exists,
+    "flt_class_allow": q_flt_class_allow,
+    "flt_disallowed_class": q_flt_disallowed_class,
+    "prj_br_strip": q_prj_br_strip,
+    "agg_refhub_merge": q_agg_refhub_merge,
+    "dedup_paragraph": q_dedup_paragraph,
+    "sort_paragraph_index": q_sort_paragraph_index,
+    "agg_rollup_region_nation": q_agg_rollup_region_nation,
+    "window_lead": q_window_lead,
+    "agg_total_rows": q_agg_total_rows,
+    "snk_parquet_roundtrip": q_snk_parquet_roundtrip,
 }
 
 
@@ -1111,5 +1292,104 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id,
                substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16) AS fp
         FROM documents
+    """,
+    "join_parent_exists": """
+        SELECT count(*) AS n_null_parent FROM orders WHERE o_custkey IS NULL
+    """,
+    "flt_class_allow": """
+        SELECT n_name, count(*) AS n_cust
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'EUROPE')
+        GROUP BY n_name
+    """,
+    "flt_disallowed_class": """
+        SELECT p_brand, count(*) AS n_parts,
+               round(sum(p_retailprice), 2) AS sum_price
+        FROM part
+        WHERE NOT (p_type LIKE '%BRASS%' OR p_type LIKE '%COPPER%')
+        GROUP BY p_brand
+    """,
+    "prj_br_strip": """
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '(?i)<br\\s*/?>', ' ', 'g'),
+                       '<[^>]+>', '', 'g'),
+                   '\\s+', ' ', 'g')) AS cleaned
+        FROM documents
+    """,
+    "agg_refhub_merge": """
+        SELECT user_id,
+               string_agg(pair, ',' ORDER BY pair) AS hub
+        FROM (
+            SELECT user_id, event_type || ':' || CAST(count(*) AS VARCHAR) AS pair
+            FROM events GROUP BY user_id, event_type
+        )
+        GROUP BY user_id
+    """,
+    "dedup_paragraph": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(event_type) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                        IS NOT DISTINCT FROM event_type
+                        THEN 0 ELSE 1 END AS change
+            FROM events
+        ), runs AS (
+            SELECT user_id,
+                   sum(change) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+            FROM flagged
+        ), per_run AS (
+            SELECT user_id, run_id, count(*) AS run_len FROM runs GROUP BY user_id, run_id
+        )
+        SELECT user_id, count(*) AS n_runs, max(run_len) AS max_run
+        FROM per_run GROUP BY user_id
+    """,
+    "sort_paragraph_index": """
+        WITH ext AS (
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   min(l_linenumber) OVER (PARTITION BY l_orderkey) AS mn,
+                   max(l_linenumber) OVER (PARTITION BY l_orderkey) AS mx
+            FROM lineitem
+        )
+        SELECT l_orderkey,
+               round(min(CASE WHEN l_linenumber = mn THEN l_quantity END), 2) AS first_qty,
+               round(max(CASE WHEN l_linenumber = mx THEN l_quantity END), 2) AS last_qty,
+               count(*) AS n_lines
+        FROM ext GROUP BY l_orderkey
+    """,
+    "agg_rollup_region_nation": """
+        SELECT coalesce(r_name, 'ALL') AS region,
+               coalesce(n_name, 'ALL') AS nation,
+               count(*) AS n_cust
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "window_lead": """
+        SELECT event_id,
+               lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS next_event_id
+        FROM events
+    """,
+    "agg_total_rows": """
+        WITH per_batch AS (
+            SELECT o_orderkey % 8 AS batch, count(*) AS n_rows,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders GROUP BY o_orderkey % 8
+        )
+        SELECT batch, n_rows, sum_price,
+               sum(n_rows) OVER (ORDER BY batch
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows
+        FROM per_batch
+    """,
+    "snk_parquet_roundtrip": """
+        SELECT r_name, count(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
     """,
 }
