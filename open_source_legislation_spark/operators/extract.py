@@ -349,109 +349,242 @@ _DERIVED_SCHEMA = T.StructType(
 )
 
 
+_PAYLOAD_TYPE = T.StructType(
+    [
+        T.StructField("clean_text", T.StringType()),
+        T.StructField("classifier", T.StringType()),
+        T.StructField("number", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("defs_header", T.BooleanType()),
+        T.StructField("extractions", _EXTRACTIONS_TYPE),
+    ]
+)
+
+
+@pandas_udf(_PAYLOAD_TYPE)
+def turn_payload_udf(texts: pd.Series) -> pd.DataFrame:
+    """Stateless per-turn payload: clean + marker parse + defs-header +
+    mention/definition extraction in ONE Arrow pass, runnable BEFORE the
+    ``conv_id`` shuffle — so the expensive regex work is spread over the
+    evenly-sized scan partitions and a hot conversation cannot straggle it
+    (north-rule skew handling; the sequential state pass downstream is then
+    cheap enough that skew costs ~µs/row, not ~25µs/row).
+
+    Definitions are extracted with the scope OPEN (a superset — the
+    scope-dependent 'emphasized' case, scrapeECFR.py:530-560, only fires
+    when no other definition matched); the state pass drops the emphasized
+    entry JVM-side when the turn turns out to be outside a definitions
+    scope.
+    """
+    cleaned = texts.map(rules.clean_text)
+    parsed = cleaned.map(rules.parse_hierarchy_marker)
+    ext = [
+        None
+        if p is not None
+        else (
+            [
+                (m["mention_text"], m["corpus"], m["raw_key"], m["start"])
+                for m in rules.extract_mentions(c)
+            ],
+            [
+                (d["term"], d["definition"], d["kind"], d["incorporated_from"])
+                for d in rules.extract_definitions(c, True)
+            ],
+        )
+        for c, p in zip(cleaned, parsed)
+    ]
+    return pd.DataFrame(
+        {
+            "clean_text": cleaned,
+            "classifier": parsed.map(lambda t: t[0] if t else None),
+            "number": parsed.map(lambda t: t[1] if t else None),
+            "name": parsed.map(lambda t: t[2] if t else None),
+            "defs_header": cleaned.map(rules.is_definitions_header),
+            "extractions": pd.Series(ext, index=texts.index),
+        }
+    )
+
+
 def derive_nodes_stream(
     transcripts: DataFrame, num_partitions: int | None = None
 ) -> DataFrame:
-    """Streaming stack-machine derive — the scale path.
+    """Streaming derive — the scale path.
 
-    ``repartition(hash(conv_id)) → sortWithinPartitions(conv_id, turn_idx,
-    ts, text) → mapInPandas(kernel)``: ONE exchange, ONE JVM sort, ONE
-    Python pass. The kernel walks each sorted partition with a running
-    parent stack (the reference's per-document cursor, scrapeCA.py:150-221),
-    first-writer-wins turn dedup (scrapingHelpers.py:110-114), duplicate-id
-    versioning (scrapingHelpers.py:61-115), definitions-scope tracking
-    (scrapeECFR.py:530-560), and the mention/definition regex kernels —
-    state carries across Arrow batches inside a partition, so hot
-    conversations cost time, not memory (state is O(stack depth)).
+    ``payload UDF (pre-shuffle, balanced) → repartition(hash(conv_id)) →
+    sortWithinPartitions(conv_id, turn_idx, ts, text) → mapInPandas(state
+    kernel)``: ONE exchange, ONE JVM sort, ONE balanced Arrow pass plus a
+    near-free sequential pass. The state kernel walks each sorted partition
+    with a running parent stack (the reference's per-document cursor,
+    scrapeCA.py:150-221), first-writer-wins turn dedup
+    (scrapingHelpers.py:110-114), duplicate-id versioning
+    (scrapingHelpers.py:61-115), and definitions-scope tracking
+    (scrapeECFR.py:530-560) — all vectorized over numpy except the stack
+    walk, which touches only hierarchy-marker rows. State carries across
+    Arrow batches inside a partition, so hot conversations cost O(stack
+    depth) memory and ~µs/row time.
 
     Produces the same frame as :func:`derive_nodes` (windows engine); the
     equivalence of the two engines is itself a test invariant.
     """
     from collections.abc import Iterator
 
-    df = transcripts
+    import numpy as np
+
+    df = transcripts.select(
+        "conv_id", "turn_idx", "ts", "text", turn_payload_udf("text").alias("feat")
+    )
     if num_partitions:
         df = df.repartition(num_partitions, "conv_id")
     else:
         df = df.repartition("conv_id")
     df = df.sortWithinPartitions("conv_id", "turn_idx", "ts", "text")
+    # project away the sort-only columns (ts, raw text) before the Arrow hop
+    df = df.select(
+        "conv_id",
+        "turn_idx",
+        F.col("feat.clean_text").alias("clean_text"),
+        F.col("feat.classifier").alias("classifier"),
+        F.col("feat.number").alias("number"),
+        F.col("feat.name").alias("name"),
+        F.col("feat.defs_header").alias("defs_header"),
+        F.col("feat.extractions").alias("extractions"),
+    )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import pyarrow as pa
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         ranks = rules.LEVEL_RANKS
-        # mutable per-conversation state, carried across Arrow batches
-        conv = None
+        # state carried across Arrow batches within a partition
+        carry_conv: str | None = None
+        carry_turn = -1
+        carry_ord = 0
+        carry_current: str | None = None
+        carry_defs = False
         stack: list[tuple[int, str]] = []
-        current_node = ""
-        in_defs = False
         id_counts: dict[str, int] = {}
-        last_turn = -1
-        ord_ctr = 0
+        stack_conv: str | None = None
 
-        for pdf in batches:
-            out: dict[str, list] = {f.name: [] for f in _DERIVED_SCHEMA.fields}
-            app = {k: v.append for k, v in out.items()}
-            for conv_id, turn_idx, text in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
-            ):
-                if conv_id != conv:
-                    conv = conv_id
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            names = batch.schema.names
+            col = {n: batch.column(i) for i, n in enumerate(names)}
+            conv = np.asarray(col["conv_id"].to_pylist(), dtype=object)
+            turn = col["turn_idx"].to_numpy(zero_copy_only=False)
+            # first-writer-wins dedup: equal-turn runs keep only the first
+            prev_conv = np.concatenate(([carry_conv], conv[:-1]))
+            prev_turn = np.concatenate(([carry_turn], turn[:-1]))
+            keep = (conv != prev_conv) | (turn != prev_turn)
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
+                col = {n: batch.column(i) for i, n in enumerate(names)}
+                conv = conv[keep]
+                turn = turn[keep]
+            m = len(conv)
+            if m == 0:
+                continue
+
+            start = conv != np.concatenate(([carry_conv], conv[:-1]))
+            pos = np.arange(m)
+            # stable ordinal: restart at conv starts, else continue carry
+            last_start = np.maximum.accumulate(np.where(start, pos, -1))
+            ords = np.where(last_start >= 0, pos - last_start + 1, pos + carry_ord + 1)
+
+            cls = np.asarray(col["classifier"].to_pylist(), dtype=object)
+            num = np.asarray(col["number"].to_pylist(), dtype=object)
+            nam = np.asarray(col["name"].to_pylist(), dtype=object)
+            hier_mask = cls != None  # noqa: E711
+
+            node_id = np.full(m, None, dtype=object)
+            raw_id = np.full(m, None, dtype=object)
+            parent = np.full(m, None, dtype=object)
+            status = np.full(m, None, dtype=object)
+            current = np.full(m, None, dtype=object)
+            defs_v = np.full(m, None, dtype=object)
+
+            # sequential stack walk over hierarchy rows only
+            for i in np.flatnonzero(hier_mask):
+                c = conv[i]
+                if c != stack_conv:
                     stack = []
-                    current_node = rules.conv_root_id(conv_id)
-                    in_defs = False
                     id_counts = {}
-                    last_turn = -1
-                    ord_ctr = 0
-                elif turn_idx == last_turn:
-                    continue  # first-writer-wins duplicate
-                last_turn = turn_idx
-                ord_ctr += 1
-                clean = rules.clean_text(text)
-                hier = rules.parse_hierarchy_marker(clean)
-                node_id = raw_id = parent = status = classifier = name = None
-                extractions = None
-                if hier is not None:
-                    classifier, number, name = hier
-                    rank = ranks[classifier]
-                    while stack and stack[-1][0] >= rank:
-                        stack.pop()
-                    parent = stack[-1][1] if stack else rules.conv_root_id(conv_id)
-                    raw_id = rules.id_add_level(parent, classifier, number)
-                    n = id_counts[raw_id] = id_counts.get(raw_id, 0) + 1
-                    node_id = raw_id if n == 1 else f"{raw_id}-v_{n}"
-                    stack.append((rank, node_id))
-                    current_node = node_id
-                    in_defs = False
-                    status = rules.node_status(name)
-                else:
-                    if rules.is_definitions_header(clean):
-                        in_defs = True
-                    extractions = (
-                        [
-                            (m["mention_text"], m["corpus"], m["raw_key"], m["start"])
-                            for m in rules.extract_mentions(clean)
-                        ],
-                        [
-                            (d["term"], d["definition"], d["kind"], d["incorporated_from"])
-                            for d in rules.extract_definitions(clean, in_defs)
-                        ],
-                    )
-                app["conv_id"](conv_id)
-                app["turn_idx"](turn_idx)
-                app["ord"](ord_ctr)
-                app["clean_text"](clean)
-                app["level_classifier"](classifier)
-                app["node_name"](name)
-                app["node_id"](node_id)
-                app["node_raw_id"](raw_id)
-                app["node_parent"](parent)
-                app["node_status"](status)
-                app["current_node"](current_node)
-                app["in_defs_scope"](in_defs)
-                app["extractions"](extractions)
-            if out["conv_id"]:
-                yield pd.DataFrame(out)
+                    stack_conv = c
+                rank = ranks[cls[i]]
+                while stack and stack[-1][0] >= rank:
+                    stack.pop()
+                par = stack[-1][1] if stack else "conv=" + c
+                r = f"{par}/{cls[i]}={num[i]}"
+                k = id_counts[r] = id_counts.get(r, 0) + 1
+                nid = r if k == 1 else f"{r}-v_{k}"
+                stack.append((rank, nid))
+                node_id[i] = nid
+                raw_id[i] = r
+                parent[i] = par
+                status[i] = rules.node_status(nam[i])
+                current[i] = nid
 
-    return df.mapInPandas(kernel, schema=_DERIVED_SCHEMA)
+            # definitions scope: headers open it, hierarchy nodes close it,
+            # conv starts reset it
+            defs_v[hier_mask] = False
+            hdr = col["defs_header"].to_numpy(zero_copy_only=False).astype(bool)
+            defs_v[hdr & ~hier_mask] = True
+            defs_v[start & (defs_v == None)] = False  # noqa: E711
+            # current-node scope: conv starts seed the root id
+            for i in np.flatnonzero(start & (current == None)):  # noqa: E711
+                current[i] = "conv=" + conv[i]
+            # batch-boundary continuation seeds
+            if not start[0]:
+                if current[0] is None:
+                    current[0] = carry_current
+                if defs_v[0] is None:
+                    defs_v[0] = carry_defs
+            current = pd.Series(current, dtype=object).ffill().to_numpy(dtype=object)
+            defs_filled = (
+                pd.Series(defs_v, dtype=object).ffill().to_numpy(dtype=object)
+            )
+
+            carry_conv = conv[-1]
+            carry_turn = turn[-1]
+            carry_ord = int(ords[-1])
+            carry_current = current[-1]
+            carry_defs = bool(defs_filled[-1])
+
+            yield pa.RecordBatch.from_arrays(
+                [
+                    col["conv_id"],
+                    col["turn_idx"],
+                    pa.array(ords.astype("int32")),
+                    col["clean_text"],
+                    col["classifier"],
+                    col["name"],
+                    pa.array(node_id, type=pa.string()),
+                    pa.array(raw_id, type=pa.string()),
+                    pa.array(parent, type=pa.string()),
+                    pa.array(status, type=pa.string()),
+                    pa.array(current, type=pa.string()),
+                    pa.array(defs_filled, type=pa.bool_()),
+                    col["extractions"],
+                ],
+                names=[f.name for f in _DERIVED_SCHEMA.fields],
+            )
+
+    out = df.mapInArrow(kernel, schema=_DERIVED_SCHEMA)
+    # drop the scope-dependent emphasized entry where the scope is closed
+    # (payload UDF extracted with scope open — see turn_payload_udf)
+    return out.withColumn(
+        "extractions",
+        F.when(
+            F.col("node_id").isNull(),
+            F.struct(
+                F.col("extractions.mentions").alias("mentions"),
+                F.when(F.col("in_defs_scope"), F.col("extractions.defs"))
+                .otherwise(
+                    F.expr("filter(extractions.defs, d -> d.kind != 'emphasized')")
+                )
+                .alias("defs"),
+            ),
+        ),
+    )
 
 
 def nodes_table(derived: DataFrame) -> DataFrame:
