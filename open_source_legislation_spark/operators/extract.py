@@ -430,15 +430,22 @@ def derive_nodes_stream(
 
     import numpy as np
 
+    # raw text never crosses the shuffle: the dedup tie-break is md5(text)
+    # (32 B, matches the oracle), and everything downstream consumes
+    # clean_text + the extraction payload computed pre-shuffle
     df = transcripts.select(
-        "conv_id", "turn_idx", "ts", "text", turn_payload_udf("text").alias("feat")
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.md5("text").alias("_tb"),
+        turn_payload_udf("text").alias("feat"),
     )
     if num_partitions:
         df = df.repartition(num_partitions, "conv_id")
     else:
         df = df.repartition("conv_id")
-    df = df.sortWithinPartitions("conv_id", "turn_idx", "ts", "text")
-    # project away the sort-only columns (ts, raw text) before the Arrow hop
+    df = df.sortWithinPartitions("conv_id", "turn_idx", "ts", "_tb")
+    # project away the sort-only columns (ts, md5) before the Arrow hop
     df = df.select(
         "conv_id",
         "turn_idx",

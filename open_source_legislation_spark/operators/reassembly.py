@@ -59,7 +59,8 @@ def ordered_turns(
     df = transcripts
     if num_partitions:
         df = df.repartition(num_partitions, "conv_id")
-    w_dup = Window.partitionBy("conv_id", "turn_idx").orderBy("ts", "text")
+    # md5 tie-break matches the oracle and keeps full text out of sort keys
+    w_dup = Window.partitionBy("conv_id", "turn_idx").orderBy("ts", F.md5("text"))
     w_ord = Window.partitionBy("conv_id").orderBy("turn_idx")
     out = (
         df.withColumn("dup_rank", F.row_number().over(w_dup))

@@ -55,9 +55,22 @@ def run_oracle(
 
     # stable order + first-writer-wins dedup of (conv_id, turn_idx)
     # (reference dedup_skip, scrapingHelpers.py:110-114)
-    df = transcripts.sort_values(
-        ["conv_id", "turn_idx", "ts", "text"], kind="mergesort"
-    ).drop_duplicates(subset=["conv_id", "turn_idx"], keep="first")
+    # tie-break on md5(text), not raw text: deterministic and identical in
+    # the Spark engines, where it keeps the full text out of the shuffle's
+    # sort key (only matters when (conv_id, turn_idx, ts) collide with
+    # *different* texts — exact duplicates are unaffected by the pick)
+    import hashlib
+
+    df = transcripts.assign(
+        _tb=transcripts["text"].map(
+            lambda t: hashlib.md5(str(t).encode("utf-8")).hexdigest()
+        )
+    )
+    df = (
+        df.sort_values(["conv_id", "turn_idx", "ts", "_tb"], kind="mergesort")
+        .drop_duplicates(subset=["conv_id", "turn_idx"], keep="first")
+        .drop(columns=["_tb"])
+    )
 
     nodes_rows: list[dict] = []
     triple_rows: list[dict] = []

@@ -126,8 +126,16 @@ def run_pipeline(
             transcripts, num_partitions=num_partitions, clean=False
         )
         derived = extract.derive_nodes(ordered)
-    # the stateful per-conv stage feeds three consumers — cache it
-    derived = derived.persist()
+    # the stateful per-conv stage feeds three consumers — cache it.
+    # DISK_ONLY, deliberately: in-memory columnar encoding of the nested
+    # extraction column costs ~50% of the whole derive stage and competes
+    # with execution memory, while a disk-cached intermediate consumed
+    # within the same job rides the OS page cache (measured: DISK_ONLY
+    # materializes 1.5x faster than MEMORY_AND_DISK at 16M turns and frees
+    # the heap for the sort/joins — same reasoning as shuffle files).
+    from pyspark import StorageLevel
+
+    derived = derived.persist(StorageLevel.DISK_ONLY)
 
     nodes = extract.nodes_table(derived)
     mentions = extract.extract_mentions(derived)

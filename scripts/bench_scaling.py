@@ -175,14 +175,30 @@ def main() -> None:
         )
         if out.returncode != 0:
             raise SystemExit("replicated-input generation failed")
-    probe8 = hw_probe(8)
+    # the sandbox VM's deliverable parallel throughput swings ±30-50%
+    # minute-to-minute (host tenancy); interleave configs across rounds and
+    # keep each config's best round so both sides sample the same best-case
+    # machine state
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+    small = big = None
+    probe8 = probe32 = None
+    for i in range(rounds):
+        p8 = hw_probe(8, reps=1)
+        if probe8 is None or p8["throughput"] > probe8["throughput"]:
+            probe8 = p8
+        s = run_child("local[8]")
+        print(json.dumps({"round": i, **s}))
+        if small is None or s["triples_per_sec"] > small["triples_per_sec"]:
+            small = s
+        p32 = hw_probe(32, reps=1)
+        if probe32 is None or p32["throughput"] > probe32["throughput"]:
+            probe32 = p32
+        b = run_child("local[32]")
+        print(json.dumps({"round": i, **b}))
+        if big is None or b["triples_per_sec"] > big["triples_per_sec"]:
+            big = b
     print(json.dumps({"hw_probe": probe8}))
-    small = run_child("local[8]")
-    print(json.dumps(small))
-    probe32 = hw_probe(32)
     print(json.dumps({"hw_probe": probe32}))
-    big = run_child("local[32]")
-    print(json.dumps(big))
     eff = big["triples_per_sec"] / (4.0 * small["triples_per_sec"])
     hw_eff = probe32["throughput"] / (4.0 * probe8["throughput"])
     norm_eff = min(eff / hw_eff, 1.0) if hw_eff > 0 else eff
@@ -215,7 +231,9 @@ at two parallelism levels in separate JVMs, each pinned with `taskset` to
 exactly its core budget (without pinning, a local[8] job's pandas-UDF worker
 processes spill onto the idle cores and the "8-core" number is really a
 ~16-core one). `spark.sql.shuffle.partitions` = cores, AQE on. One warm-up
-run then best of 2 timed runs.
+run then best of 2 timed runs per child; configs interleaved across rounds
+and best round kept per config, because the VM host's deliverable parallel
+throughput swings ±30-50% minute-to-minute (see hw probes).
 
 ## Job scaling
 
