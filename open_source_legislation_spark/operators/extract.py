@@ -411,7 +411,7 @@ def derive_nodes_stream(
     """Streaming derive — the scale path.
 
     ``payload UDF (pre-shuffle, balanced) → repartition(hash(conv_id)) →
-    sortWithinPartitions(conv_id, turn_idx, ts, text) → mapInPandas(state
+    sortWithinPartitions(conv_id, turn_idx, ts, md5(text)) → mapInPandas(state
     kernel)``: ONE exchange, ONE JVM sort, ONE balanced Arrow pass plus a
     near-free sequential pass. The state kernel walks each sorted partition
     with a running parent stack (the reference's per-document cursor,

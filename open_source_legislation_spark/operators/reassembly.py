@@ -50,7 +50,7 @@ def ordered_turns(
     """Dedup + stable order + clean.
 
     - exact ``(conv_id, turn_idx)`` duplicates resolved first-writer-wins by
-      ``(ts, text)`` (reference dedup_skip, scrapingHelpers.py:110-114);
+      ``(ts, md5(text))`` (reference dedup_skip, scrapingHelpers.py:110-114);
       collision count is recoverable as ``dup_rank > 1`` rows upstream;
     - ``ord`` is the stable ordinal (row_number over turn_idx) — the
       ``node_order SERIAL`` analog;
