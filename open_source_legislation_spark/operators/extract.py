@@ -8,19 +8,26 @@ as:
 - **Arrow-batched pandas UDFs** for the regex kernels (shared with the
   oracle via ``rules.py`` — no drift, no per-row Python through Spark's
   row UDF path);
-- **window functions** for everything stateful: parent-by-rank resolution
-  is "nearest preceding strictly-higher-ranked row", i.e. a greatest-by-
-  position over per-rank running ``last(..., ignorenulls=True)`` columns —
-  the as-of-join shape SURVEY §2.3 ``join_hierarchy_rank`` calls for;
-  duplicate-id versioning is a ``row_number`` window (SURVEY §2.6
-  ``dedup_version``); the definitions scope flag and "current node" are
-  running ``last(..., ignorenulls=True)`` fills.
+- two interchangeable stateful engines (equivalence is a test invariant,
+  tests/test_engines_equivalent.py):
 
-All windows share one partitioning — ``conv_id`` ordered by ``ord`` — so
-Catalyst plans a single exchange for the whole stage. At 10^12 turns the
-per-conv window state is O(1) per row (running lasts), so hot conversations
-cost time, not memory; the expensive reassembly path is chunk-salted
-separately (see ``reassembly.py``).
+  * ``derive_nodes_stream`` — the scale/default path: all expensive regex
+    work runs as a stateless payload UDF BEFORE the ``conv_id`` shuffle
+    (balanced across scan partitions, immune to hot-conversation skew),
+    then a vectorized ``mapInArrow`` state pass does dedup/ordinals/
+    parent-stack/scope fills at ~µs/row;
+  * ``derive_nodes`` — the pure-Catalyst reference plan: parent-by-rank
+    resolution as "nearest preceding strictly-higher-ranked row" via
+    per-rank running ``last(..., ignorenulls=True)`` windows (the
+    as-of-join shape SURVEY §2.3 ``join_hierarchy_rank`` calls for),
+    duplicate-id versioning as a ``row_number`` window (SURVEY §2.6
+    ``dedup_version``), scope flags as running-last fills — all windows
+    sharing one ``conv_id`` partitioning, so Catalyst plans a single
+    exchange.
+
+At 10^12 turns per-conv state is O(1)-ish per row in both engines, so hot
+conversations cost time, not memory; the expensive reassembly path is
+chunk-salted separately (see ``reassembly.py``).
 """
 
 from __future__ import annotations
