@@ -97,20 +97,24 @@ def extract_metadata(media: DataFrame) -> DataFrame:
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             raw = pdf["content"]
-            n_bytes = raw.map(len, na_action="ignore").astype("int64")
+            # nullable Int64: a null payload must not crash the int cast
+            n_bytes = raw.map(len, na_action="ignore").astype("Int64")
             is_fake = raw.map(
-                lambda b: b is not None and bytes(b[:4]) == _HEADER
+                lambda b: b is not None
+                and len(b) >= _HEADER_LEN
+                and bytes(b[:4]) == _HEADER
             )
-            width = raw.where(is_fake).map(
-                lambda b: struct.unpack("<I", bytes(b[8:12]))[0]
-                if b is not None
-                else None
-            )
-            height = raw.where(is_fake).map(
-                lambda b: struct.unpack("<I", bytes(b[12:16]))[0]
-                if b is not None
-                else None
-            )
+            # where() masks non-fake rows to NaN; guard on bytes-like, not
+            # just None, so masked rows stay null instead of crashing unpack
+            def _u32(off):
+                return lambda b: (
+                    struct.unpack("<I", bytes(b[off : off + 4]))[0]
+                    if isinstance(b, (bytes, bytearray, memoryview))
+                    else None
+                )
+
+            width = raw.where(is_fake).map(_u32(8))
+            height = raw.where(is_fake).map(_u32(12))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -61,9 +61,13 @@ def run_oracle(
     # *different* texts — exact duplicates are unaffected by the pick)
     import hashlib
 
+    # null text maps to "" (sorts before any hex digest), mirroring Spark
+    # where md5(NULL) is NULL and NULLs sort first under the default asc
     df = transcripts.assign(
         _tb=transcripts["text"].map(
-            lambda t: hashlib.md5(str(t).encode("utf-8")).hexdigest()
+            lambda t: ""
+            if t is None or (isinstance(t, float) and pd.isna(t))
+            else hashlib.md5(str(t).encode("utf-8")).hexdigest()
         )
     )
     df = (

@@ -406,8 +406,8 @@ def q_set_intersect(spark, sf_dir):
 
 def q_set_union_hubs(spark, sf_dir):
     """SURVEY §2.8 set_union_hubs — precedence-ranked union-dedup
-    (ReferenceHub.combine, pydanticModels.py:184-189): supplier wins over
-    customer on nation-key conflicts."""
+    (ReferenceHub.combine, pydanticModels.py:184-189): customer wins over
+    supplier on nation-key conflicts (lexicographic-min origin)."""
     s = (
         _t(spark, sf_dir, "supplier")
         .select(F.col("s_nationkey").alias("nk"))
@@ -467,14 +467,20 @@ def q_agg_distinct_sources(spark, sf_dir):
 def q_agg_usage_cost(spark, sf_dir):
     """SURVEY §2.5 agg_usage_cost — cost-accounting aggregate (token ×
     price, pydanticModels.py:527-546): per-type value × unit price."""
+    from decimal import Decimal
+
     e = _t(spark, sf_dir, "events")
+    # decimal value × decimal price: exact, order-independent sum (the
+    # double-sum variant was flagged as a latent hash-flake in round 1)
     price = (
-        F.when(F.col("event_type") == "purchase", 0.03)
-        .when(F.col("event_type") == "view", 0.001)
-        .otherwise(0.0001)
+        F.when(F.col("event_type") == "purchase", F.lit(Decimal("0.0300")))
+        .when(F.col("event_type") == "view", F.lit(Decimal("0.0010")))
+        .otherwise(F.lit(Decimal("0.0001")))
     )
     return e.groupBy("event_type").agg(
-        F.round(F.sum(F.col("value") * price), 3).alias("cost"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)") * price), 3)
+        .cast("double")
+        .alias("cost"),
         F.count("*").alias("n_calls"),
     )
 
@@ -527,9 +533,13 @@ def q_window_session(spark, sf_dir):
             F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
         )
     )
+    # decimal sum: order-independent, so Spark's partial-agg order vs the
+    # oracle's can't flip a rounding boundary (round-1 hash-mismatch fix)
     return sess.groupBy("user_id", "session_no").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("session_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("session_value"),
     )
 
 
@@ -1119,9 +1129,13 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "agg_usage_cost": """
         SELECT event_type,
-               round(sum(value * CASE WHEN event_type = 'purchase' THEN 0.03
-                                      WHEN event_type = 'view' THEN 0.001
-                                      ELSE 0.0001 END), 3) AS cost,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))
+                              * CASE WHEN event_type = 'purchase'
+                                       THEN CAST(0.0300 AS DECIMAL(6,4))
+                                     WHEN event_type = 'view'
+                                       THEN CAST(0.0010 AS DECIMAL(6,4))
+                                     ELSE CAST(0.0001 AS DECIMAL(6,4)) END),
+                          3) AS DOUBLE) AS cost,
                count(*) AS n_calls
         FROM events GROUP BY event_type
     """,
@@ -1155,7 +1169,8 @@ ORACLE_SQL: dict[str, str] = {
           FROM flagged
         )
         SELECT user_id, session_no, count(*) AS n_events,
-               round(sum(value), 2) AS session_value
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS session_value
         FROM sess GROUP BY user_id, session_no
     """,
     "mm_metadata": """
@@ -1180,7 +1195,11 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id,
                CAST(row_number() OVER (PARTITION BY doc_id ORDER BY band_offset) - 1
                     AS INT) AS frame_idx,
-               base64(encode(substring(text, CAST(band_offset AS INT) + 1, 8)))
+               -- byte-accurate slice (hex->substr->unhex): the Spark side
+               -- slices the binary column byte-wise, and character-based
+               -- substring(text, ...) would diverge on non-ASCII text
+               base64(unhex(substr(hex(encode(text)),
+                                   CAST(band_offset AS INT) * 2 + 1, 16)))
                  AS frame_b64
         FROM offs
     """,
