@@ -58,22 +58,47 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.8
+    docs: DataFrame, n: int = 3, threshold: float = 0.8, max_doc_freq: int = 1000
 ) -> DataFrame:
     """Near-dup pairs by token-n-gram Jaccard ≥ threshold.
 
-    Pair generation via shingle co-occurrence join (only docs sharing ≥1
-    shingle are compared) — the standard similarity-join shape; at scale the
-    hot shingles are capped by LSH banding (``minhash_lsh_pairs``) instead.
+    Candidate generation via shingle co-occurrence join, with a
+    document-frequency cap: shingles appearing in more than ``max_doc_freq``
+    docs are excluded from CANDIDATE generation (a single stop-phrase shingle
+    shared by 10^6 docs would otherwise make the co-occurrence join emit
+    10^12 rows). Candidate pairs are then verified with the TRUE Jaccard over
+    the FULL shingle sets (joined through the candidate list, like the
+    MinHash path), so capping never changes a reported jaccard value — it
+    can only skip pairs whose every shared shingle is ubiquitous, which at
+    threshold ≥ 0.8 means near-dups made entirely of stop phrases.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded 3.
     """
     sh = shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    doc_freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    rare = sh.join(
+        doc_freq.filter(F.col("df") <= max_doc_freq).select("shingle"), "shingle"
+    )
+    a = rare.alias("a")
+    b = rare.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("_doc_b2"), F.col("shingle").alias("shingle_b"))
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cands.join(a_sh, "doc_a")
+        .join(
+            b_sh,
+            (F.col("doc_b") == F.col("_doc_b2")) & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     return (
@@ -224,14 +249,13 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     )
 
 
-def embedding_near_dup_pairs(
+def embedding_near_dup_bruteforce(
     embeddings: DataFrame, threshold: float = 0.8
 ) -> DataFrame:
-    """Near-dup pairs by cosine ≥ threshold over `embedding:array<float>`.
-
-    Brute-force pairwise (verification baseline); the bucketed/IVF path for
-    scale lives in similarity.py. Double-precision sequential dot product so
-    the SQL oracle reproduces values exactly. Output: (vec_a, vec_b, cos)."""
+    """All-pairs cosine ≥ threshold via row-level crossJoin — the pytest
+    ORACLE only. Quadratic in rows shuffled AND in per-pair expression-tree
+    evaluations; never the production path (see
+    ``embedding_near_dup_pairs``). Output: (vec_a, vec_b, cos)."""
     a = embeddings.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
     )
@@ -257,3 +281,96 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.8, block: int = 1024
+) -> DataFrame:
+    """Exact near-dup pairs by cosine ≥ threshold — blocked matrix product.
+
+    Scale design (replaces the round-1 row-level crossJoin): vectors are
+    grouped into contiguous ``block``-sized chunks by ``vec_id``; the join
+    enumerates CHUNK pairs (blk_a ≤ blk_b, a tiny key-only inequality join),
+    ships each chunk's packed vectors to its pair rows via two equi-joins,
+    and a vectorized Arrow kernel computes the full cosine submatrix with
+    one BLAS matmul per chunk pair, emitting only pairs ≥ threshold.
+
+    Why this is the right exact shape at scale: exact all-pairs is
+    inherently O(n²·d) FLOPs; the knobs are shuffle volume and FLOP/s.
+    Here shuffle is O(n·d·(n/block)) bytes (each chunk replicated once per
+    partner chunk — the classic block-partitioned matmul bound, `block`×
+    less than the crossJoin's O(n²·d) row bytes) and the FLOPs run in BLAS
+    instead of per-pair Catalyst expression trees. Sign-LSH was measured
+    and rejected for this operator: at threshold ≈0.35 on near-uniform
+    unit vectors the per-bit collision prob is 0.61, so recall-1 parameters
+    generate ≥3n² candidates — worse than brute force (see SCALE.md).
+    Sub-quadratic requires approximate semantics: ``similarity.ann_lsh``.
+
+    Output: (vec_a, vec_b, cos) with vec_a < vec_b, cos rounded to 3.
+    NaN-norm rows (zero vectors) drop out, matching the SQL oracle where
+    NaN comparisons are false.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    g = (
+        embeddings.withColumn("blk", F.floor(F.col("vec_id") / block))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vs"))
+    )
+    # chunk-pair enumeration: explode each chunk id against [blk, max_blk]
+    # (broadcast 1-row max) — pure JVM, no Cartesian anywhere in the plan;
+    # ids with no data (vec_id gaps) drop out in the inner equi-joins below
+    maxb = g.agg(F.max("blk").alias("maxb"))
+    bp = (
+        g.select("blk")
+        .crossJoin(F.broadcast(maxb))
+        .select(
+            F.col("blk").alias("blk_a"),
+            F.explode(F.sequence(F.col("blk"), F.col("maxb"))).alias("blk_b"),
+        )
+    )
+    paired = (
+        bp.join(g.select(F.col("blk").alias("blk_a"), F.col("vs").alias("vs_a")), "blk_a")
+        .join(g.select(F.col("blk").alias("blk_b"), F.col("vs").alias("vs_b")), "blk_b")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                ids_a = np.array([v["vec_id"] for v in row["vs_a"]], dtype=np.int64)
+                A = np.array([v["embedding"] for v in row["vs_a"]], dtype=np.float64)
+                ids_b = np.array([v["vec_id"] for v in row["vs_b"]], dtype=np.int64)
+                B = np.array([v["embedding"] for v in row["vs_b"]], dtype=np.float64)
+                na = np.linalg.norm(A, axis=1, keepdims=True)
+                nb = np.linalg.norm(B, axis=1, keepdims=True)
+                C = np.round((A @ B.T) / (na * nb.T), 3)
+                ia, ib = np.nonzero(C >= threshold)
+                # chunks are contiguous vec_id ranges, so blk_a < blk_b
+                # already implies vec_a < vec_b; only the diagonal chunk
+                # needs the strict-upper-triangle mask
+                if row["blk_a"] == row["blk_b"]:
+                    keep = ids_a[ia] < ids_b[ib]
+                    ia, ib = ia[keep], ib[keep]
+                outs.append(
+                    pd.DataFrame(
+                        {"vec_a": ids_a[ia], "vec_b": ids_b[ib], "cos": C[ia, ib]}
+                    )
+                )
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
+            )
+
+    return paired.mapInPandas(kernel, schema=out_schema)

@@ -99,6 +99,58 @@ def topk_cosine_ivf(
     )
 
 
+def lsh_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seedless LCG hash — fixed,
+    reproducible as SQL literals in the DuckDB oracle; no RNG state)."""
+    planes = []
+    for i in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = (1103515245 * (i * dim + j + 1) + 12345) % 2147483648
+            row.append(h / 2147483648.0 - 0.5)
+        planes.append(row)
+    return planes
+
+
+def ann_lsh_pairs(
+    embeddings: DataFrame,
+    n_planes: int = 4,
+    dim: int = 64,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """End-to-end ANN near-dup via sign-random-projection buckets.
+
+    Candidates = pairs landing in the SAME ``n_planes``-bit bucket (bucket
+    join — shuffle is one row per vector, never quadratic), verified with
+    exact double cosine ≥ threshold. APPROXIMATE BY DESIGN: recall per pair
+    is p^n_planes with p = 1 - θ/π; the contract defines the result as
+    "bucket-colliding pairs above threshold", which the SQL oracle
+    reproduces bit-for-bit (planes are deterministic literals). At 100 TB
+    this is the sub-quadratic route; the exact blocked-matmul route is
+    ``dedup.embedding_near_dup_pairs``. Output: (vec_a, vec_b, cos).
+    """
+    planes = lsh_planes(n_planes, dim)
+    b = lsh_sign_buckets(embeddings, planes).select("vec_id", "embedding", "bucket")
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            F.round(
+                _dot(F.col("l.embedding"), F.col("r.embedding"))
+                / (_norm(F.col("l.embedding")) * _norm(F.col("r.embedding"))),
+                3,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def lsh_sign_buckets(embeddings: DataFrame, planes: list[list[float]]) -> DataFrame:
     """Sign-random-projection bucket id per vector: bit b = sign(v · plane_b).
 

@@ -581,8 +581,19 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
+    """Exact cosine near-dup via blocked matmul (no row-level crossJoin in
+    the plan; block=128 exercises multi-chunk pairing at sf0.01)."""
     return dedup.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, block=128
+    )
+
+
+def q_sim_ann_lsh(spark, sf_dir):
+    """Sub-quadratic ANN near-dup: sign-LSH bucket join + exact-cosine
+    verification (semantics = bucket-colliding pairs ≥ threshold; the
+    oracle reproduces the deterministic planes as literals)."""
+    return similarity.ann_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"), n_planes=4, dim=64, threshold=0.30
     )
 
 
@@ -844,6 +855,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_topk_ivf": q_sim_topk_ivf,
+    "sim_ann_lsh": q_sim_ann_lsh,
     "ta_tokens": q_ta_tokens,
     "ta_tokens_bpe": q_ta_tokens_bpe,
     "enrich_hash_embed": q_enrich_hash_embed,
@@ -868,6 +880,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # DuckDB oracle SQL (same column names; doubles rounded identically)
 # ---------------------------------------------------------------------------
 
+# mirrors ngram_jaccard_pairs exactly: candidates from df-capped shingles,
+# TRUE jaccard verified over the full shingle sets of candidate pairs
 _JACCARD_CTE = """
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
@@ -878,9 +892,19 @@ WITH toks AS (
   FROM toks
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), df AS (
+  SELECT shingle, count(*) AS dfc FROM sh GROUP BY shingle
+), rare AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle)
+  WHERE dfc <= 1000
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 ), inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT doc_a, doc_b, count(*) AS inter
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.doc_a
+  JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
   GROUP BY 1, 2
 ), jac AS (
   SELECT doc_a, doc_b,
@@ -890,6 +914,28 @@ WITH toks AS (
   JOIN sizes sb ON sb.doc_id = doc_b
 )
 """
+
+
+def _ann_lsh_sql(n_planes: int = 4, dim: int = 64, threshold: float = 0.30) -> str:
+    from .operators.similarity import lsh_planes
+
+    def dot_plane(p):
+        lits = ", ".join(repr(x) for x in p)
+        return (
+            f"list_sum(list_transform(list_zip(embedding, [{lits}]), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        )
+
+    bucket = " || ".join(
+        f"(CASE WHEN {dot_plane(p)} > 0 THEN '1' ELSE '0' END)"
+        for p in lsh_planes(n_planes, dim)
+    )
+    return f"""
+        WITH bk AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {{cos}} AS cos
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {{cos}} >= {threshold}
+    """
 
 def _minhash_sql(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
     params = [(2 * i + 1, 7919 * (i + 1) % 2147483647) for i in range(num_perm)]
@@ -1244,6 +1290,7 @@ ORACLE_SQL: dict[str, str] = {
         JOIN embeddings b ON b.vec_id != 0 AND b.label = a.label
         ORDER BY cos DESC, b.vec_id LIMIT 10
     """,
+    "sim_ann_lsh": _ann_lsh_sql().format(cos=_COS_EXPR),
     "ta_tokens": """
         SELECT doc_id,
                len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,

@@ -1,0 +1,101 @@
+"""Scale-shape guarantees for the dedup family (round-2 hardening).
+
+1. The exact embedding near-dup operator must not put a row-level
+   CartesianProduct in the plan (blocked matmul replaces the crossJoin) and
+   must return exactly the brute-force result.
+2. The n-gram Jaccard candidate join must bound candidate counts under a
+   ubiquitous shingle (document-frequency cap), while true Jaccard values
+   for surviving pairs stay exact.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from open_source_legislation_spark.operators import dedup
+
+EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    # deterministic pseudo-random unit-ish vectors, 40 rows x 8 dims
+    rows = []
+    for i in range(40):
+        vec = [((1103515245 * (i * 8 + j + 1) + 12345) % 1000) / 500.0 - 1.0 for j in range(8)]
+        rows.append((i, vec, i % 4))
+    return spark.createDataFrame(rows, schema=EMB_SCHEMA)
+
+
+def test_blocked_matches_bruteforce(emb_df):
+    blocked = {
+        (r.vec_a, r.vec_b, r.cos)
+        for r in dedup.embedding_near_dup_pairs(emb_df, threshold=0.5, block=16).collect()
+    }
+    brute = {
+        (r.vec_a, r.vec_b, r.cos)
+        for r in dedup.embedding_near_dup_bruteforce(emb_df, threshold=0.5).collect()
+    }
+    assert blocked == brute
+    assert len(blocked) > 0  # non-vacuous
+
+
+def test_blocked_plan_has_no_row_cartesian(emb_df):
+    plan = dedup.embedding_near_dup_pairs(
+        emb_df, threshold=0.5, block=16
+    )._jdf.queryExecution().executedPlan().toString()
+    # the tiny block-key inequality join may be a BroadcastNestedLoopJoin
+    # (n/block rows); a row-level CartesianProduct must never appear
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_cap_bounds_candidates(spark):
+    # 30 docs sharing one ubiquitous trigram + one unique trigram each:
+    # without the df cap, the ubiquitous shingle alone creates C(30,2)=435
+    # candidate pairs; with cap < 30 it creates none.
+    docs = spark.createDataFrame(
+        [
+            (i, f"common stop phrase unique{i} token{i} tail{i}")
+            for i in range(30)
+        ],
+        schema="doc_id long, text string",
+    )
+    capped = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.0, max_doc_freq=10)
+    uncapped = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.0, max_doc_freq=10**6)
+    assert uncapped.count() == 435  # every pair shares 'common stop phrase'
+    assert capped.count() == 0
+
+    # surviving pairs keep EXACT jaccard: duplicate docs (identical text,
+    # rare shingles) must still be found with jaccard 1.0 under the cap
+    docs2 = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"), (2, "x y z w")],
+        schema="doc_id long, text string",
+    )
+    out = dedup.ngram_jaccard_pairs(docs2, n=3, threshold=0.8, max_doc_freq=10).collect()
+    assert [(r.doc_a, r.doc_b, r.cos if hasattr(r, "cos") else r.jaccard) for r in out] == [
+        (0, 1, 1.0)
+    ]
+
+
+def test_ann_lsh_pairs_subset_of_exact(emb_df):
+    from open_source_legislation_spark.operators import similarity
+
+    ann = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.ann_lsh_pairs(
+            emb_df, n_planes=2, dim=8, threshold=0.5
+        ).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in dedup.embedding_near_dup_bruteforce(emb_df, threshold=0.5).collect()
+    }
+    assert ann <= exact  # bucket-join can only prune, never invent pairs
