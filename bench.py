@@ -67,6 +67,10 @@ HEADLINE_CONTRACT = [
     "dedup_simhash",
     "sim_topk_cosine",
     "ta_quality",
+    # round-2 scale-shape rewrites: blocked-matmul exact near-dup and the
+    # sub-quadratic LSH ANN path
+    "dedup_embedding_cosine",
+    "sim_ann_lsh",
 ]
 
 

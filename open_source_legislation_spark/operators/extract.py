@@ -80,9 +80,20 @@ _DEFS_TYPE = T.ArrayType(
             T.StructField("definition", T.StringType()),
             T.StructField("kind", T.StringType()),
             T.StructField("incorporated_from", T.StringType()),
+            T.StructField("parent_term", T.StringType()),
         ]
     )
 )
+
+
+def _def_tuple(d: dict) -> tuple:
+    return (
+        d["term"],
+        d["definition"],
+        d["kind"],
+        d["incorporated_from"],
+        d["parent_term"],
+    )
 
 
 @pandas_udf(_FEATURES_TYPE)
@@ -124,10 +135,7 @@ def extractions_udf(texts: pd.Series, in_scope: pd.Series) -> pd.DataFrame:
     )
     defs = pd.Series(
         [
-            [
-                (d["term"], d["definition"], d["kind"], d["incorporated_from"])
-                for d in rules.extract_definitions(t, bool(s))
-            ]
+            [_def_tuple(d) for d in rules.extract_definitions(t, bool(s))]
             for t, s in zip(texts, in_scope)
         ],
         index=texts.index,
@@ -169,10 +177,7 @@ def definitions_udf(texts: pd.Series, in_scope: pd.Series) -> pd.Series:
     """Definition extraction (reference scrapeECFR.py:530-837) per batch."""
     return pd.Series(
         [
-            [
-                (d["term"], d["definition"], d["kind"], d["incorporated_from"])
-                for d in rules.extract_definitions(t, bool(s))
-            ]
+            [_def_tuple(d) for d in rules.extract_definitions(t, bool(s))]
             for t, s in zip(texts, in_scope)
         ]
     )
@@ -393,10 +398,7 @@ def turn_payload_udf(texts: pd.Series) -> pd.DataFrame:
                 (m["mention_text"], m["corpus"], m["raw_key"], m["start"])
                 for m in rules.extract_mentions(c)
             ],
-            [
-                (d["term"], d["definition"], d["kind"], d["incorporated_from"])
-                for d in rules.extract_definitions(c, True)
-            ],
+            [_def_tuple(d) for d in rules.extract_definitions(c, True)],
         )
         for c, p in zip(cleaned, parsed)
     ]
@@ -654,6 +656,7 @@ def extract_mentions(derived: DataFrame) -> DataFrame:
             F.col("m.mention_text").alias("mention_text"),
             F.col("m.corpus").alias("corpus"),
             F.col("m.raw_key").alias("raw_key"),
+            F.col("m.start").alias("start"),
         )
     )
 
@@ -680,6 +683,7 @@ def extract_definitions(derived: DataFrame) -> DataFrame:
             F.col("d.definition").alias("definition"),
             F.col("d.kind").alias("kind"),
             F.col("d.incorporated_from").alias("incorporated_from"),
+            F.col("d.parent_term").alias("parent_term"),
             F.concat(F.col("current_node"), F.lit("/term="), F.col("d.term")).alias(
                 "term_id"
             ),

@@ -79,6 +79,9 @@ def run_oracle(
     nodes_rows: list[dict] = []
     triple_rows: list[dict] = []
     turn_rows: list[dict] = []
+    # node_id -> (conv_id, turn_idx, text): LAST addendum trailer under the
+    # node wins (reference extract_addendum, scrapeECFR.py:867-992)
+    addendum_by_node: dict[str, tuple[str, int, str]] = {}
 
     for conv_id, conv in df.groupby("conv_id", sort=True):
         root = rules.conv_root_id(conv_id)
@@ -104,7 +107,12 @@ def run_oracle(
         for _, row in conv.iterrows():
             text = rules.clean_text(row["text"])
             turn_rows.append(
-                {"conv_id": conv_id, "turn_idx": int(row["turn_idx"]), "clean_text": text}
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": int(row["turn_idx"]),
+                    "clean_text": text,
+                    "rewritten_text": text,
+                }
             )
             hier = rules.parse_hierarchy_marker(text)
             if hier is not None:
@@ -157,8 +165,20 @@ def run_oracle(
             if rules.is_definitions_header(text):
                 in_defs = True
 
+            # addendum trailer: last one under the current node wins; its
+            # mentions still flow into the mention stream below
+            if rules.is_addendum(text):
+                addendum_by_node[current_node] = (
+                    conv_id,
+                    int(row["turn_idx"]),
+                    text,
+                )
+
             # citation / URL mentions → cites triples (linked only;
-            # misses are metrics, not triples)
+            # misses are metrics, not triples) + placeholder substitutions
+            # for the rewritten text (reference [*url*] injection,
+            # scrapeECFR.py:1135-1146)
+            subs: list[tuple[int, int, str]] = []
             for mention in rules.extract_mentions(text):
                 entity = link_raw_key(mention["raw_key"], index)
                 if entity is not None:
@@ -171,6 +191,19 @@ def run_oracle(
                             "turn_idx": int(row["turn_idx"]),
                         }
                     )
+                    subs.append(
+                        (mention["start"], len(mention["mention_text"]), entity)
+                    )
+            if subs:
+                # same ordering as the Spark array_sort(struct(start,len,id))
+                subs.sort()
+                acc, pos = "", 0
+                for start, ln, ent in subs:
+                    if start < pos:  # overlapping mention: skip
+                        continue
+                    acc += text[pos:start] + f"[*{ent}*]"
+                    pos = start + ln
+                turn_rows[-1]["rewritten_text"] = acc + text[pos:]
 
             # definitions → defined_as / defined_in_scope triples
             for d in rules.extract_definitions(text, in_defs):
@@ -210,9 +243,35 @@ def run_oracle(
                             "turn_idx": int(row["turn_idx"]),
                         }
                     )
+                    if d.get("parent_term"):
+                        triple_rows.append(
+                            {
+                                "subj": term_id,
+                                "pred": "subdefinition_of",
+                                "obj": f"{current_node}/term={d['parent_term']}",
+                                "conv_id": conv_id,
+                                "turn_idx": int(row["turn_idx"]),
+                            }
+                        )
+
+    # addendum triples + node column (last trailer per node)
+    for node_id, (cid, tix, txt) in addendum_by_node.items():
+        triple_rows.append(
+            {
+                "subj": node_id,
+                "pred": "addendum",
+                "obj": txt,
+                "conv_id": cid,
+                "turn_idx": tix,
+            }
+        )
+    nodes = pd.DataFrame(nodes_rows)
+    nodes["node_addendum"] = nodes["node_id"].map(
+        lambda n: addendum_by_node[n][2] if n in addendum_by_node else None
+    )
 
     return {
-        "nodes": pd.DataFrame(nodes_rows),
+        "nodes": nodes,
         "triples": pd.DataFrame(triple_rows),
         "turns": pd.DataFrame(turn_rows),
     }

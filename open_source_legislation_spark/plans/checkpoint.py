@@ -125,52 +125,101 @@ class CheckpointedRunner:
                 )
 
     # -- execution ---------------------------------------------------------
+    @staticmethod
+    def _parquet_rows(path: str) -> int:
+        """Row count from the written parquet FOOTERS (pyarrow metadata
+        read — zero Spark jobs, zero data bytes): the write-side metric
+        the round-1 re-read count() action was paying a full scan for.
+        (``Observation`` was tried first and delivers empty metric rows
+        under multi-threaded job submission in this PySpark build, so the
+        committed files themselves are the source of truth.)"""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += pq.read_metadata(os.path.join(root, fn)).num_rows
+        return total
+
+    def _run_bucket(self, bucketed: DataFrame, entity_dict: DataFrame, b: int) -> BucketStats:
+        """One bucket end-to-end. rows_out comes from the committed parquet
+        footers (no re-read scan); mention stats are ONE aggregate over the
+        cached derived frame; rows_in is a column-pruned count on the
+        input slice (metadata-fast on real parquet/Iceberg storage)."""
+        t0 = time.time()
+        # per-bucket scheduler pool: with FAIR mode, concurrent bucket jobs
+        # share executors instead of queueing behind each other
+        self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"bucket-{b}")
+        part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
+        rows_in = part.select("conv_id").count()
+        res = run_pipeline(self.spark, part, entity_dict)
+        tri_path = os.path.join(self.out_dir, "triples", f"bucket={b}")
+        nodes_path = os.path.join(self.out_dir, "nodes", f"bucket={b}")
+        # overwrite per-bucket dirs → retries of a half-written bucket
+        # are idempotent (reference: idempotent batches, 3_process.py)
+        res.triples.write.mode("overwrite").parquet(tri_path)
+        res.nodes.write.mode("overwrite").parquet(nodes_path)
+        m = res.mentions.agg(
+            F.count(F.lit(1)).alias("n"), F.count("entity_id").alias("linked")
+        ).first()
+        res.turns.unpersist()
+        return BucketStats(
+            partition_id=b,
+            rows_in=rows_in,
+            rows_out=self._parquet_rows(tri_path),
+            mentions=int(m.n),
+            mentions_linked=int(m.linked),
+            wall_ms=(time.time() - t0) * 1000.0,
+        )
+
     def run(
         self,
         transcripts: DataFrame,
         entity_dict: DataFrame,
         fail_after: int | None = None,
+        max_concurrency: int = 4,
     ) -> int:
         """Process all unfinished buckets; returns #buckets processed.
 
-        ``fail_after`` aborts after N buckets — the kill-and-resume test
-        hook (simulates a mid-run driver loss at a partition boundary).
+        Buckets run as CONCURRENT Spark jobs (thread pool + FAIR scheduler
+        pools) so a small bucket never waits behind a big one; the manifest
+        append is serialized under a lock. ``fail_after`` aborts after N
+        bucket commits — the kill-and-resume test hook (simulates a mid-run
+        driver loss at a partition boundary); it forces sequential execution
+        so the kill point is deterministic.
         """
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
         done = self.completed_buckets()
         bucketed = transcripts.withColumn(
             "_bucket", bucket_col(F.col("conv_id"), self.num_buckets)
         )
+        todo = [b for b in range(self.num_buckets) if b not in done]
+        if fail_after is not None:
+            max_concurrency = 1
+
+        lock = threading.Lock()
         processed = 0
-        for b in range(self.num_buckets):
-            if b in done:
-                continue
-            t0 = time.time()
-            part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
-            rows_in = part.count()
-            res = run_pipeline(self.spark, part, entity_dict)
-            tri_path = os.path.join(self.out_dir, "triples", f"bucket={b}")
-            nodes_path = os.path.join(self.out_dir, "nodes", f"bucket={b}")
-            # overwrite per-bucket dirs → retries of a half-written bucket
-            # are idempotent (reference: idempotent batches, 3_process.py)
-            res.triples.write.mode("overwrite").parquet(tri_path)
-            res.nodes.write.mode("overwrite").parquet(nodes_path)
-            rows_out = self.spark.read.parquet(tri_path).count()
-            mentions = res.mentions.count()
-            linked = res.mentions.filter(F.col("entity_id").isNotNull()).count()
-            res.turns.unpersist()
-            self._commit(
-                BucketStats(
-                    partition_id=b,
-                    rows_in=rows_in,
-                    rows_out=rows_out,
-                    mentions=mentions,
-                    mentions_linked=linked,
-                    wall_ms=(time.time() - t0) * 1000.0,
-                )
-            )
-            processed += 1
-            if fail_after is not None and processed >= fail_after:
-                raise RuntimeError(f"injected failure after {processed} buckets")
+
+        def one(b: int) -> None:
+            nonlocal processed
+            stats = self._run_bucket(bucketed, entity_dict, b)
+            with lock:
+                self._commit(stats)
+                processed += 1
+                if fail_after is not None and processed >= fail_after:
+                    raise RuntimeError(f"injected failure after {processed} buckets")
+
+        if max_concurrency <= 1:
+            for b in todo:
+                one(b)
+        else:
+            with ThreadPoolExecutor(max_workers=max_concurrency) as ex:
+                futures = [ex.submit(one, b) for b in todo]
+                for f in futures:
+                    f.result()  # propagate the first failure
         return processed
 
     # -- reads -------------------------------------------------------------

@@ -20,7 +20,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import canonicalize, extract, graph, linking, reassembly
+from .. import rules
+from ..operators import canonicalize, enrich, extract, graph, linking, reassembly
 
 
 @dataclass
@@ -31,6 +32,7 @@ class PipelineResult:
     definitions: DataFrame
     triples: DataFrame
     edges: DataFrame
+    rewritten: DataFrame | None = None
     metrics: dict[str, float] = field(default_factory=dict)
 
 
@@ -60,6 +62,17 @@ def _definition_triples(defs: DataFrame, linked_incorp: DataFrame) -> DataFrame:
         "conv_id",
         "turn_idx",
     )
+    # nested definitions hang off their parent term (reference
+    # Definition.subdefinitions, pydanticModels.py:138-165)
+    subdef = plain.filter(F.col("parent_term").isNotNull()).select(
+        F.col("term_id").alias("subj"),
+        F.lit("subdefinition_of").alias("pred"),
+        F.concat(F.col("current_node"), F.lit("/term="), F.col("parent_term")).alias(
+            "obj"
+        ),
+        "conv_id",
+        "turn_idx",
+    )
     incorp = linked_incorp.select(
         F.col("term_id").alias("subj"),
         F.lit("defined_in_scope").alias("pred"),
@@ -67,7 +80,11 @@ def _definition_triples(defs: DataFrame, linked_incorp: DataFrame) -> DataFrame:
         "conv_id",
         "turn_idx",
     )
-    return defined_as.unionByName(defined_in_scope).unionByName(incorp)
+    return (
+        defined_as.unionByName(defined_in_scope)
+        .unionByName(subdef)
+        .unionByName(incorp)
+    )
 
 
 def _node_triples(derived: DataFrame) -> DataFrame:
@@ -89,6 +106,87 @@ def _node_triples(derived: DataFrame) -> DataFrame:
         "turn_idx",
     )
     return child_of.unionByName(alias_of)
+
+
+def _addenda(derived: DataFrame) -> DataFrame:
+    """Last source/history trailer per node (reference extract_addendum,
+    scrapeECFR.py:867-992): pure groupBy + max_by on the per-conv ordinal —
+    one partial-aggregated exchange on current_node, no window."""
+    return (
+        derived.filter(
+            F.col("node_id").isNull() & F.col("clean_text").rlike(rules.ADDENDUM_PATTERN)
+        )
+        .groupBy("current_node")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("clean_text").alias("text"),
+                    F.col("conv_id").alias("conv_id"),
+                    F.col("turn_idx").alias("turn_idx"),
+                ),
+                F.col("ord"),
+            ).alias("a")
+        )
+        .select(
+            "current_node",
+            F.col("a.text").alias("node_addendum"),
+            F.col("a.conv_id").alias("conv_id"),
+            F.col("a.turn_idx").alias("turn_idx"),
+        )
+    )
+
+
+def _rewritten_turns(derived: DataFrame, linked: DataFrame) -> DataFrame:
+    """Per-turn text with linked mentions replaced by ``[*entity_id*]``
+    placeholders (reference scrapeECFR.py:1135-1146) — position-based
+    splice as a pure JVM ``aggregate`` over the sorted substitution list;
+    unlinked mentions keep their original text. Join key (conv_id,
+    turn_idx) rides the existing conv_id clustering."""
+    subs = (
+        linked.filter(F.col("entity_id").isNotNull())
+        .groupBy("conv_id", "turn_idx")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("start").alias("start"),
+                        F.length("mention_text").alias("len"),
+                        F.col("entity_id").alias("entity_id"),
+                    )
+                )
+            ).alias("subs")
+        )
+    )
+    joined = derived.select("conv_id", "turn_idx", "clean_text").join(
+        subs, ["conv_id", "turn_idx"], "left"
+    )
+    text = F.col("clean_text")
+    spliced = F.aggregate(
+        F.col("subs"),
+        F.struct(F.lit("").alias("acc"), F.lit(0).alias("pos")),
+        lambda st, s: F.when(
+            s["start"] >= st["pos"],
+            F.struct(
+                F.concat(
+                    st["acc"],
+                    F.substring(text, st["pos"] + 1, s["start"] - st["pos"]),
+                    F.lit("[*"),
+                    s["entity_id"],
+                    F.lit("*]"),
+                ).alias("acc"),
+                (s["start"] + s["len"]).alias("pos"),
+            ),
+        ).otherwise(st),  # overlapping mention: skip
+        lambda st: F.concat(
+            st["acc"], F.substring(text, st["pos"] + 1, F.length(text) - st["pos"])
+        ),
+    )
+    return joined.select(
+        "conv_id",
+        "turn_idx",
+        "clean_text",
+        F.when(F.col("subs").isNull(), text).otherwise(spliced).alias("rewritten_text"),
+    )
 
 
 def link_incorporated(defs: DataFrame, entity_dict: DataFrame) -> DataFrame:
@@ -137,17 +235,53 @@ def run_pipeline(
 
     derived = derived.persist(StorageLevel.DISK_ONLY)
 
-    nodes = extract.nodes_table(derived)
     mentions = extract.extract_mentions(derived)
     defs = extract.extract_definitions(derived)
+    addenda = _addenda(derived)
+
+    # nodes enriched with the reference's per-node payloads: addendum
+    # (broadcast join — addenda ≪ nodes), BPE-ish token count
+    # (scrapeECFR.py:359-360,1003-1007) and the phase-3 hash embedding
+    # (3_process.py:18-36) — both pure JVM expressions over node text
+    nodes = (
+        extract.nodes_table(derived)
+        .join(
+            F.broadcast(addenda.select(
+                F.col("current_node").alias("node_id"), "node_addendum"
+            )),
+            "node_id",
+            "left",
+        )
+        .withColumn(
+            "n_tokens",
+            F.when(
+                F.col("text").isNotNull(),
+                F.size(F.split(F.trim(F.lower("text")), r"\s+")),
+            ),
+        )
+        .withColumn(
+            "embedding",
+            enrich.hash_embed_expr(F.coalesce(F.col("text"), F.lit("")), dim=16),
+        )
+    )
 
     linked = linking.link_mentions(mentions, entity_dict)
     linked_incorp = link_incorporated(defs, entity_dict)
+    rewritten = _rewritten_turns(derived, linked)
+
+    addendum_triples = addenda.select(
+        F.col("current_node").alias("subj"),
+        F.lit("addendum").alias("pred"),
+        F.col("node_addendum").alias("obj"),
+        "conv_id",
+        "turn_idx",
+    )
 
     triples = (
         _node_triples(derived)
         .unionByName(_mention_triples(linked))
         .unionByName(_definition_triples(defs, linked_incorp))
+        .unionByName(addendum_triples)
     )
 
     edges = graph.hierarchy_edges(nodes).unionByName(graph.cites_edges(linked))
@@ -165,4 +299,5 @@ def run_pipeline(
         definitions=defs,
         triples=triples,
         edges=edges,
+        rewritten=rewritten,
     )

@@ -97,6 +97,26 @@ def is_definitions_header(text: str) -> bool:
 
 
 # --------------------------------------------------------------------------
+# Addendum / history-trailer detection — transcript analog of the trailing
+# source/history paragraph the reference peels off every content node
+# (extract_addendum, scrapeECFR.py:867-992; Addendum pydanticModels.py:370-406)
+# --------------------------------------------------------------------------
+
+# shared with the Spark side as an rlike pattern (same semantics in Python
+# re and Java regex for this anchored alternation)
+ADDENDUM_PATTERN = r"^(?:Source|History|Authority|Note)\s*:"
+_RE_ADDENDUM = re.compile(ADDENDUM_PATTERN)
+
+
+def is_addendum(text: str) -> bool:
+    """True when a (clean) turn is a source/history trailer. The LAST such
+    turn under a node becomes the node's addendum (reference keeps the
+    trailing paragraph, scrapeECFR.py:905-940); its citations still flow
+    into the mention stream like any other turn."""
+    return bool(_RE_ADDENDUM.match(text))
+
+
+# --------------------------------------------------------------------------
 # NodeID algebra (reference pydanticModels.py:16-135) — '/' and '=' reserved.
 # --------------------------------------------------------------------------
 
@@ -256,13 +276,25 @@ def term_slug(term: str) -> str:
     return re.sub(r"\s+", "_", term.strip().lower())
 
 
+# trailing subitem marker: a definition body ending with '(1)' / '(a)' etc.
+# announces that the NEXT quoted definition is nested one level under it
+# (reference subdefinition recursion, scrapeECFR.py:843-865;
+# Definition.subdefinitions pydanticModels.py:138-165) — flattened here with
+# parent-term provenance, one level deep
+_RE_SUBMARK = re.compile(r"[,:;]?\s*(?:including[:,]?)?\s*\(\w{1,3}\)$")
+
+
 def extract_definitions(text: str, in_definitions_scope: bool) -> list[dict]:
     """All definitions in a clean turn text.
 
-    Returns dicts ``term, definition, kind, incorporated_from``. The
-    emphasized-term case only fires inside an open ``Definitions.`` scope —
-    matching the reference, where case-3 parsing is entered only under a
-    definitions section (scrapeECFR.py:530-560).
+    Returns dicts ``term, definition, kind, incorporated_from,
+    parent_term``. The emphasized-term case only fires inside an open
+    ``Definitions.`` scope — matching the reference, where case-3 parsing is
+    entered only under a definitions section (scrapeECFR.py:530-560).
+    ``parent_term`` is non-None for nested (sub)definitions: a quoted
+    definition whose predecessor's body ends in a subitem marker like
+    ``(1)``; chains ``(1) … (2) …`` all hang off the same top-level term
+    (one level of nesting, flattened).
     """
     out: list[dict] = []
     incorp_spans: list[tuple[int, int]] = []
@@ -273,21 +305,32 @@ def extract_definitions(text: str, in_definitions_scope: bool) -> list[dict]:
                 "definition": None,
                 "kind": "incorporated",
                 "incorporated_from": m.group(2).strip(),
+                "parent_term": None,
             }
         )
         incorp_spans.append(m.span())
+    pending_parent: str | None = None
     for m in _RE_QUOTED_DEF.finditer(text):
         # an “X” … as defined in … match is not also a quoted definition
         if any(s <= m.start() < e for s, e in incorp_spans):
             continue
+        term = term_slug(m.group(1))
+        body = m.group(2).strip().rstrip(".")
+        mark = _RE_SUBMARK.search(body)
+        parent = pending_parent
+        if mark:
+            body = body[: mark.start()].rstrip(" ,:;")
         out.append(
             {
-                "term": term_slug(m.group(1)),
-                "definition": m.group(2).strip().rstrip("."),
+                "term": term,
+                "definition": body,
                 "kind": "quoted",
                 "incorporated_from": None,
+                "parent_term": parent,
             }
         )
+        # a marker chains the next def under the SAME top-level term
+        pending_parent = (parent if parent is not None else term) if mark else None
     if in_definitions_scope and not out:
         m = _RE_EMPH_DEF.match(text)
         if m and not _RE_HIER.match(text) and not is_definitions_header(text):
@@ -297,6 +340,7 @@ def extract_definitions(text: str, in_definitions_scope: bool) -> list[dict]:
                     "definition": m.group(2).strip().rstrip("."),
                     "kind": "emphasized",
                     "incorporated_from": None,
+                    "parent_term": None,
                 }
             )
     return out

@@ -28,6 +28,10 @@ _DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.ui.enabled": "false",
+    # FAIR across on-demand pools: concurrent checkpoint buckets (and any
+    # multi-threaded job submission) share executors instead of head-of-line
+    # blocking behind the first bucket's stages.
+    "spark.scheduler.mode": "FAIR",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.sql.session.timeZone": "UTC",
 }

@@ -175,12 +175,22 @@ def _gen_conv_turns(rng: np.random.RandomState, conv_id: str, n_turns: int) -> l
             kind = rng.rand()
             if kind < 0.4:
                 text = f"“{term}” means {body}."
-            elif kind < 0.6:
+            elif kind < 0.55:
                 t2 = int(rng.randint(1, 55))
                 s2 = int(rng.randint(1, 30))
                 text = f"The term “{term}” has the meaning as defined in {t2} U.S.C. § {s2}."
-            else:
+            elif kind < 0.8:
                 text = f"{term}. {body.capitalize()}."
+            else:
+                # nested (sub)definitions: '(1)'/'(2)' markers hang the
+                # following quoted defs one level under the lead term
+                s1 = _TERMS[int(rng.randint(0, len(_TERMS)))]
+                s2 = _TERMS[int(rng.randint(0, len(_TERMS)))]
+                text = (
+                    f"“{term}” means {body}, including: "
+                    f"(1) “{s1}” means the {s1.lower()} as configured; "
+                    f"(2) “{s2}” means the {s2.lower()} in active service."
+                )
         elif draw < 0.62:
             t = int(rng.randint(1, 51))
             p = 100 + 5 * int(rng.randint(0, 5))
@@ -196,9 +206,17 @@ def _gen_conv_turns(rng: np.random.RandomState, conv_id: str, n_turns: int) -> l
         elif draw < 0.82:
             t = int(rng.randint(1, 51))
             p = 100 + 5 * int(rng.randint(0, 5))
-            text = f"Source: https://ex.gov/title-{t}/part-{p} (accessed earlier)."
-            role = "tool"
-            tool = "web_fetch"
+            if rng.rand() < 0.7:
+                # addendum trailer (source form); its URL still enters the
+                # mention stream
+                text = f"Source: https://ex.gov/title-{t}/part-{p} (accessed earlier)."
+                role = "tool"
+                tool = "web_fetch"
+            else:
+                # addendum trailer (history form) with a linkable citation
+                ts = int(rng.randint(1, 55))
+                ss = int(rng.randint(1, 30))
+                text = f"History: Amended per {ts} U.S.C. § {ss}, effective as noted."
         else:
             fillers = [
                 "Could you summarize the compliance obligations discussed above?",

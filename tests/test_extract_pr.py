@@ -39,7 +39,15 @@ def test_all_predicates_exercised(pipeline_result):
         for r in pipeline_result.triples.select("pred").distinct().collect()
     }
     # the full FIXTURES.md §4 predicate vocabulary must appear
-    assert preds == {"child_of", "cites", "defined_as", "defined_in_scope", "alias_of"}
+    assert preds == {
+        "child_of",
+        "cites",
+        "defined_as",
+        "defined_in_scope",
+        "alias_of",
+        "addendum",
+        "subdefinition_of",
+    }
 
 
 def test_nodes_match_oracle(pipeline_result, oracle_result):

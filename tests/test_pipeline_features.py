@@ -1,0 +1,114 @@
+"""Round-2 pipeline features: addendum peel, placeholder rewrite,
+subdefinitions, node embeddings + token counts.
+
+Each feature is checked against the pure-Python oracle (rewrite, addendum)
+or against hand fixtures (subdefinitions), mirroring the reference
+behaviors: extract_addendum scrapeECFR.py:867-992, [*url*] injection
+scrapeECFR.py:1135-1146, subdefinitions scrapeECFR.py:843-865, phase-3
+embeddings 3_process.py:18-36.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from open_source_legislation_spark import oracle, rules
+from open_source_legislation_spark.plans.pipeline import run_pipeline
+
+
+def _pipeline(spark, transcripts_df, entity_dict_df):
+    return run_pipeline(spark, transcripts_df, entity_dict_df)
+
+
+def test_rewritten_matches_oracle(spark, transcripts_df, entity_dict_df, transcripts_pd, entity_dict_pd):
+    res = _pipeline(spark, transcripts_df, entity_dict_df)
+    o = oracle.run_oracle(transcripts_pd, entity_dict_pd)
+    got = {(r.conv_id, r.turn_idx): r.rewritten_text for r in res.rewritten.collect()}
+    exp = {
+        (r.conv_id, r.turn_idx): r.rewritten_text
+        for r in o["turns"].itertuples(index=False)
+    }
+    assert got == exp
+    # non-vacuous: some turns actually carry placeholders
+    assert any("[*" in t for t in got.values())
+
+
+def test_rewritten_roundtrip_shape(spark, transcripts_df, entity_dict_df):
+    """Stripping placeholder spans from rewritten_text leaves only
+    substrings of the clean text (splice never corrupts non-mention
+    bytes)."""
+    res = _pipeline(spark, transcripts_df, entity_dict_df)
+    rows = (
+        res.rewritten.filter(F.col("rewritten_text").contains("[*"))
+        .select("clean_text", "rewritten_text")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        chunks = re.split(r"\[\*[^*]*\*\]", r.rewritten_text)
+        for c in chunks:
+            assert c in r.clean_text
+
+
+def test_addendum_on_nodes(spark, transcripts_df, entity_dict_df, transcripts_pd, entity_dict_pd):
+    res = _pipeline(spark, transcripts_df, entity_dict_df)
+    o = oracle.run_oracle(transcripts_pd, entity_dict_pd)
+    got = {
+        (r.node_id, r.node_addendum)
+        for r in res.nodes.filter(F.col("node_addendum").isNotNull()).collect()
+    }
+    onodes = o["nodes"]
+    exp = {
+        (r.node_id, r.node_addendum)
+        for r in onodes[onodes["node_addendum"].notna()].itertuples(index=False)
+    }
+    assert got == exp
+    assert got  # fixtures do produce addenda
+
+
+def test_subdefinition_rule():
+    text = (
+        "“Act” means the statute, including: "
+        "(1) “Administrator” means the person in charge; "
+        "(2) “Operator” means the person operating."
+    )
+    defs = rules.extract_definitions(text, False)
+    by_term = {d["term"]: d for d in defs}
+    assert by_term["act"]["parent_term"] is None
+    assert by_term["act"]["definition"] == "the statute"
+    assert by_term["administrator"]["parent_term"] == "act"
+    assert by_term["administrator"]["definition"] == "the person in charge"
+    # chained (2) stays one level deep: parent is still the lead term
+    assert by_term["operator"]["parent_term"] == "act"
+    # a plain multi-def turn has no nesting
+    flat = rules.extract_definitions(
+        "“A” means one thing. “B” means another thing.", False
+    )
+    assert all(d["parent_term"] is None for d in flat)
+
+
+def test_addendum_rule():
+    assert rules.is_addendum("Source: https://x.gov/a (accessed).")
+    assert rules.is_addendum("History: Amended per 5 U.S.C. § 3.")
+    assert rules.is_addendum("Authority : 42 U.S.C. § 7401.")
+    assert not rules.is_addendum("The source of the rule is unclear.")
+
+
+def test_node_embeddings_and_topk(spark, transcripts_df, entity_dict_df):
+    from open_source_legislation_spark.operators import similarity
+
+    res = _pipeline(spark, transcripts_df, entity_dict_df)
+    nodes = res.nodes.filter(F.col("text").isNotNull())
+    row = nodes.select("node_id", "embedding", "n_tokens").first()
+    assert row.n_tokens >= 1
+    assert len(row.embedding) == 16
+    assert abs(sum(x * x for x in row.embedding) - 1.0) < 0.01  # ~unit norm
+    # phase-3 joined up: similarity search runs over pipeline nodes
+    emb = nodes.select(
+        F.col("node_id").alias("vec_id"), F.col("embedding").alias("embedding")
+    )
+    top = similarity.topk_cosine(emb, query_vec_id=row.node_id, k=5).collect()
+    assert len(top) == 5
+    assert all(t.cos <= 1.0 for t in top)

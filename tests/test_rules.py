@@ -78,6 +78,7 @@ def test_extract_definitions_quoted():
             "definition": "the Noise Control Act of 1972",
             "kind": "quoted",
             "incorporated_from": None,
+            "parent_term": None,
         }
     ]
 
