@@ -131,7 +131,14 @@ def ann_lsh_pairs(
     """
     planes = lsh_planes(n_planes, dim)
     b = lsh_sign_buckets(embeddings, planes).select("vec_id", "embedding", "bucket")
-    l, r = b.alias("l"), b.alias("r")
+    # spread the probe side across shuffle partitions: the per-pair exact
+    # cosine (interpreted higher-order exprs, not codegen) is the hot loop,
+    # and a small parquet input would otherwise evaluate it on 1-2 scan
+    # partitions; hash(vec_id) keeps the spread even under bucket skew.
+    # Explicit partition count — AQE would coalesce a byte-tiny exchange
+    # back to one partition, re-serializing the expensive pair loop.
+    n_part = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    l, r = b.repartition(n_part, F.col("vec_id")).alias("l"), b.alias("r")
     return (
         l.join(
             r,

@@ -46,33 +46,37 @@ def _mention_triples(linked: DataFrame) -> DataFrame:
     )
 
 
+def _triple_struct(subj, pred: str, obj):
+    return F.struct(
+        subj.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj")
+    )
+
+
 def _definition_triples(defs: DataFrame, linked_incorp: DataFrame) -> DataFrame:
+    """2-3 triples per plain definition, emitted by ONE explode pass over
+    the defs stream (three separate union branches would re-scan the cached
+    derived frame + re-explode defs once per branch)."""
     plain = defs.filter(F.col("kind") != "incorporated")
-    defined_as = plain.select(
-        F.col("term_id").alias("subj"),
-        F.lit("defined_as").alias("pred"),
-        F.col("definition").alias("obj"),
-        "conv_id",
-        "turn_idx",
+    base = F.array(
+        _triple_struct(F.col("term_id"), "defined_as", F.col("definition")),
+        _triple_struct(F.col("term_id"), "defined_in_scope", F.col("current_node")),
     )
-    defined_in_scope = plain.select(
-        F.col("term_id").alias("subj"),
-        F.lit("defined_in_scope").alias("pred"),
-        F.col("current_node").alias("obj"),
-        "conv_id",
-        "turn_idx",
-    )
-    # nested definitions hang off their parent term (reference
+    # nested definitions additionally hang off their parent term (reference
     # Definition.subdefinitions, pydanticModels.py:138-165)
-    subdef = plain.filter(F.col("parent_term").isNotNull()).select(
-        F.col("term_id").alias("subj"),
-        F.lit("subdefinition_of").alias("pred"),
-        F.concat(F.col("current_node"), F.lit("/term="), F.col("parent_term")).alias(
-            "obj"
+    with_sub = F.concat(
+        base,
+        F.array(
+            _triple_struct(
+                F.col("term_id"),
+                "subdefinition_of",
+                F.concat(F.col("current_node"), F.lit("/term="), F.col("parent_term")),
+            )
         ),
-        "conv_id",
-        "turn_idx",
     )
+    arr = F.when(F.col("parent_term").isNotNull(), with_sub).otherwise(base)
+    fused = plain.select(
+        F.explode(arr).alias("t"), "conv_id", "turn_idx"
+    ).select("t.subj", "t.pred", "t.obj", "conv_id", "turn_idx")
     incorp = linked_incorp.select(
         F.col("term_id").alias("subj"),
         F.lit("defined_in_scope").alias("pred"),
@@ -80,32 +84,23 @@ def _definition_triples(defs: DataFrame, linked_incorp: DataFrame) -> DataFrame:
         "conv_id",
         "turn_idx",
     )
-    return (
-        defined_as.unionByName(defined_in_scope)
-        .unionByName(subdef)
-        .unionByName(incorp)
-    )
+    return fused.unionByName(incorp)
 
 
 def _node_triples(derived: DataFrame) -> DataFrame:
+    """child_of (+ alias_of for versioned duplicates — reference
+    duplicated_from_node_id tag, scrapingHelpers.py:94-98) in ONE pass over
+    the node rows: a conditional array explode instead of two union
+    branches that would each re-scan the cached derived frame."""
     nodes = derived.filter(F.col("node_id").isNotNull())
-    child_of = nodes.select(
-        F.col("node_id").alias("subj"),
-        F.lit("child_of").alias("pred"),
-        F.col("node_parent").alias("obj"),
-        "conv_id",
-        "turn_idx",
+    child = _triple_struct(F.col("node_id"), "child_of", F.col("node_parent"))
+    alias = _triple_struct(F.col("node_id"), "alias_of", F.col("node_raw_id"))
+    arr = F.when(
+        F.col("node_id") != F.col("node_raw_id"), F.array(child, alias)
+    ).otherwise(F.array(child))
+    return nodes.select(F.explode(arr).alias("t"), "conv_id", "turn_idx").select(
+        "t.subj", "t.pred", "t.obj", "conv_id", "turn_idx"
     )
-    # versioned duplicates alias back to the raw id
-    # (reference duplicated_from_node_id tag, scrapingHelpers.py:94-98)
-    alias_of = nodes.filter(F.col("node_id") != F.col("node_raw_id")).select(
-        F.col("node_id").alias("subj"),
-        F.lit("alias_of").alias("pred"),
-        F.col("node_raw_id").alias("obj"),
-        "conv_id",
-        "turn_idx",
-    )
-    return child_of.unionByName(alias_of)
 
 
 def _addenda(derived: DataFrame) -> DataFrame:

@@ -796,6 +796,29 @@ def q_agg_total_rows(spark, sf_dir):
     )
 
 
+def q_src_toc_file(spark, sf_dir):
+    """SURVEY §2.1 src_toc_file — line-oriented text-file source: write the
+    documents as ``doc_id|text`` lines, scan them back via ``read.text``
+    (sources/io.py read_toc_lines) and parse declaratively. The oracle
+    derives the same values straight from the documents view (the
+    round-trip is lossless for single-line text)."""
+    import tempfile
+
+    from .sources import io as src_io
+
+    d = _t(spark, sf_dir, "documents")
+    out = f"{tempfile.gettempdir()}/oslspark_toc_src"
+    d.select(
+        F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text")).alias("value")
+    ).write.mode("overwrite").text(out)
+    lines = src_io.read_toc_lines(spark, out)
+    id_str = F.substring_index(F.col("value"), "|", 1)
+    return lines.select(
+        id_str.cast("long").alias("doc_id"),
+        (F.length("value") - F.length(id_str) - 1).alias("n_body_chars"),
+    )
+
+
 def q_snk_parquet_roundtrip(spark, sf_dir):
     """SURVEY §2.1 snk_insert/snk_file — append sink + re-scan: write the
     joined dimension to parquet (the Iceberg-append stand-in,
@@ -873,6 +896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_lead": q_window_lead,
     "agg_total_rows": q_agg_total_rows,
     "snk_parquet_roundtrip": q_snk_parquet_roundtrip,
+    "src_toc_file": q_src_toc_file,
 }
 
 
@@ -1452,6 +1476,10 @@ ORACLE_SQL: dict[str, str] = {
                sum(n_rows) OVER (ORDER BY batch
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows
         FROM per_batch
+    """,
+    "src_toc_file": """
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_body_chars
+        FROM documents
     """,
     "snk_parquet_roundtrip": """
         SELECT r_name, count(*) AS n_nations

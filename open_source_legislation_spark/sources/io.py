@@ -33,6 +33,14 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(schemas.TRANSCRIPTS).parquet(path)
 
 
+def read_toc_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text source (SURVEY §2.1 src_toc_file — the
+    reference's table-of-contents flat-file reader): ``spark.read.text``
+    gives one row per line in column ``value``; parsing stays declarative
+    downstream so pruning/pushdown still apply."""
+    return spark.read.text(path)
+
+
 def write_table(
     df: DataFrame,
     base_dir: str,
