@@ -315,7 +315,11 @@ def embedding_near_dup_pairs(
     from pyspark.sql import types as T
 
     g = (
-        embeddings.withColumn("blk", F.floor(F.col("vec_id") / block))
+        # null embeddings can never satisfy cos >= t (the SQL oracle yields
+        # NULL comparisons) — drop them before packing so the BLAS kernel
+        # sees rectangular data
+        embeddings.filter(F.col("embedding").isNotNull())
+        .withColumn("blk", F.floor(F.col("vec_id") / block))
         .groupBy("blk")
         .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vs"))
     )

@@ -550,6 +550,15 @@ def q_mm_metadata(spark, sf_dir):
     return multimodal.extract_metadata(media)
 
 
+def q_mm_resize(spark, sf_dir):
+    """Multimodal resize bookkeeping — scale factors + output dims as pure
+    column math over the parsed media headers (operators/multimodal.py
+    resize_plan); the oracle recomputes width/height from the deterministic
+    FAKE-codec formulas."""
+    media = multimodal.synth_media_from_documents(_t(spark, sf_dir, "documents"))
+    return multimodal.resize_plan(multimodal.extract_metadata(media), target=16)
+
+
 def q_mm_frame_sample(spark, sf_dir):
     """Multimodal frame sampling — strided byte-frame extraction from the
     video payloads, JVM-side slicing (operators/multimodal.py)."""
@@ -871,6 +880,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_session": q_window_session,
     "mm_metadata": q_mm_metadata,
     "mm_frame_sample": q_mm_frame_sample,
+    "mm_resize": q_mm_resize,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1252,6 +1262,25 @@ ORACLE_SQL: dict[str, str] = {
                CAST(n_chars % 64 + 1 AS INT) AS width,
                CAST(doc_id % 32 + 1 AS INT) AS height
         FROM documents
+    """,
+    "mm_resize": """
+        WITH meta AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 'image'
+                      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+                 CAST(n_chars % 64 + 1 AS INT) AS width,
+                 CAST(doc_id % 32 + 1 AS INT) AS height
+          FROM documents
+        ), scaled AS (
+          SELECT doc_id, width, height,
+                 least(16.0 / width, 16.0 / height) AS s
+          FROM meta WHERE media_type = 'image'
+        )
+        SELECT doc_id, width, height,
+               round(s, 4) AS scale,
+               CAST(greatest(floor(width * s), 1) AS INT) AS out_w,
+               CAST(greatest(floor(height * s), 1) AS INT) AS out_h
+        FROM scaled
     """,
     "mm_frame_sample": """
         WITH vids AS (
