@@ -99,6 +99,105 @@ def topk_cosine_ivf(
     )
 
 
+def ivf_build(
+    embeddings: DataFrame, k: int = 8, iters: int = 3
+) -> tuple[DataFrame, list[list[float]]]:
+    """Deterministic IVF coarse quantizer: Lloyd k-means over the embedding
+    column, returning ``(assignments, centroids)`` where assignments is
+    ``embeddings`` plus a ``cell`` column.
+
+    Scale shape (the MLlib k-means pattern):
+    - init: the k vectors with the smallest vec_id (deterministic, no RNG);
+    - assignment: centroids collected to the driver (k·d floats — model
+      state, not data) and closed over a vectorized ``mapInPandas`` kernel —
+      one BLAS distance matrix per Arrow batch, no per-pair expression
+      trees, no k× row explode;
+    - update: ``posexplode`` the assigned vectors → ``groupBy(cell, pos)``
+      mean — Catalyst partial-aggregates map-side, so the shuffle is
+      O(k·d·partitions), not O(n·d);
+    - the loop is driver-side over a FIXED iteration count; each round's
+      centroids are a tiny collect (k rows), so no lineage blowup.
+
+    At 10^12 rows you'd sample the training set for the build (standard
+    IVF practice) and assign the full corpus once with the final centroids.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    base = embeddings.filter(F.col("embedding").isNotNull())
+    cents = [
+        list(map(float, r.embedding))
+        for r in base.orderBy("vec_id").limit(k).collect()
+    ]
+
+    out_schema = T.StructType(
+        list(base.schema.fields) + [T.StructField("cell", T.IntegerType())]
+    )
+
+    def assigner(centroids: list[list[float]]):
+        C = np.array(centroids, dtype=np.float64)  # k × d
+
+        def assign(batches):
+            for pdf in batches:
+                if len(pdf):
+                    V = np.array(list(pdf["embedding"]), dtype=np.float64)
+                    # argmin squared L2 via the expanded dot form
+                    d2 = (V * V).sum(1)[:, None] - 2.0 * (V @ C.T) + (C * C).sum(1)[None, :]
+                    pdf = pdf.assign(cell=np.argmin(d2, axis=1).astype("int32"))
+                else:
+                    pdf = pdf.assign(cell=pd.Series([], dtype="int32"))
+                yield pdf
+
+        return assign
+
+    for _ in range(iters):
+        assigned = base.mapInPandas(assigner(cents), schema=out_schema)
+        new_cents = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select("cell", F.col("pm.m").alias("centroid"))
+            .collect()
+        )
+        by_cell = {r.cell: list(map(float, r.centroid)) for r in new_cents}
+        # empty cells keep their previous centroid (deterministic)
+        cents = [by_cell.get(j, cents[j]) for j in range(k)]
+
+    return base.mapInPandas(assigner(cents), schema=out_schema), cents
+
+
+def topk_cosine_ivf_built(
+    embeddings: DataFrame, query_vec_id: int = 0, k_cells: int = 8, top_k: int = 10
+) -> DataFrame:
+    """IVF top-k over a freshly BUILT index (vs ``topk_cosine_ivf``, which
+    trusts a precomputed ``label`` cell): probe only the query's cell."""
+    assigned, _cents = ivf_build(embeddings, k=k_cells, iters=2)
+    q = assigned.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("cell").alias("qcell"), F.col("embedding").alias("qe")
+    )
+    return (
+        assigned.join(F.broadcast(q), F.col("cell") == F.col("qcell"))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("qe"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qe"))),
+                3,
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(top_k)
+    )
+
+
 def lsh_planes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (seedless LCG hash — fixed,
     reproducible as SQL literals in the DuckDB oracle; no RNG state)."""

@@ -828,6 +828,72 @@ def q_src_toc_file(spark, sf_dir):
     )
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """SURVEY §2.11 custom stateful streaming — applyInPandasWithState
+    sessionization (streaming/stateful.py) run to completion with
+    ``Trigger.AvailableNow`` over the events table, returned as a batch
+    frame. AvailableNow runs a final timeout batch with the watermark at
+    the global max event time, so every session whose end + gap falls
+    strictly before that watermark emits (in-data-closed or timed out);
+    the oracle reproduces exactly that cutoff."""
+    import shutil
+    import tempfile
+
+    from .streaming.stateful import sessionize_stream
+
+    src_dir = f"{tempfile.gettempdir()}/oslspark_stream_events"
+    shutil.rmtree(src_dir, ignore_errors=True)
+    import os
+
+    os.makedirs(src_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(src_dir)
+        .withColumn("user_id", F.col("user_id").cast("string"))
+    )
+    sessions = sessionize_stream(stream, gap_seconds=3600)
+    ckpt = f"{tempfile.gettempdir()}/oslspark_stream_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("oslspark_sessions")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table("oslspark_sessions")
+    # values are 2-dp decimals, so the sequential float64 state sum rounds
+    # exactly; decimal-cast keeps the comparison order-independent
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round(F.col("session_value").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("session_value"),
+    )
+
+
+def q_sim_ivf_build(spark, sf_dir):
+    """IVF index BUILD (deterministic Lloyd k-means, similarity.ivf_build)
+    — cell-size histogram of the built index. No SQL oracle: iterative
+    k-means is not reasonably DuckDB-expressible, so the driver records the
+    rows-only check; the exact-vs-numpy equivalence is pinned by
+    tests/test_ivf.py."""
+    assigned, _ = similarity.ivf_build(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=2
+    )
+    return assigned.groupBy("cell").agg(F.count("*").alias("n_vecs")).orderBy("cell")
+
+
 def q_snk_parquet_roundtrip(spark, sf_dir):
     """SURVEY §2.1 snk_insert/snk_file — append sink + re-scan: write the
     joined dimension to parquet (the Iceberg-append stand-in,
@@ -907,6 +973,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_total_rows": q_agg_total_rows,
     "snk_parquet_roundtrip": q_snk_parquet_roundtrip,
     "src_toc_file": q_src_toc_file,
+    "stream_sessionize": q_stream_sessionize,
+    "sim_ivf_build": q_sim_ivf_build,
 }
 
 
@@ -1509,6 +1577,37 @@ ORACLE_SQL: dict[str, str] = {
     "src_toc_file": """
         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_body_chars
         FROM documents
+    """,
+    "stream_sessionize": """
+        WITH flagged AS (
+          SELECT CAST(user_id AS VARCHAR) AS user_id, ts, event_id, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts, value,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM flagged
+        ), agg AS (
+          SELECT user_id, session_no,
+                 min(ts) AS session_start, max(ts) AS session_end,
+                 CAST(count(*) AS INT) AS n_events,
+                 CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS session_value
+          FROM sess GROUP BY user_id, session_no
+        )
+        -- AvailableNow runs a final timeout batch with the watermark at the
+        -- global max event time: every session whose (end + gap) timeout
+        -- timestamp (ms) is strictly below that watermark has been emitted
+        -- (in-data-closed sessions satisfy this a fortiori); only sessions
+        -- within the last hour of the stream stay open in state
+        SELECT user_id, session_start, session_end, n_events, session_value
+        FROM agg
+        WHERE floor(epoch_us(session_end) / 1000) + 3600000
+              < (SELECT floor(max(epoch_us(ts)) / 1000) FROM events)
     """,
     "snk_parquet_roundtrip": """
         SELECT r_name, count(*) AS n_nations
