@@ -828,6 +828,58 @@ def q_src_toc_file(spark, sf_dir):
     )
 
 
+def q_prj_date_math(spark, sf_dir):
+    """SURVEY §2.9 date/time scalar family — truncation, component
+    extraction, day arithmetic (the reference's created_at/processed
+    timestamps, utilityFunctions.py date handling)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.date_trunc("month", F.col("ts")).alias("month_start"),
+        F.datediff(F.to_date(F.col("ts")), F.lit("2024-01-01").cast("date")).alias(
+            "days_since"
+        ),
+    )
+
+
+def q_agg_percentile(spark, sf_dir):
+    """SURVEY §2.5 ordered-set aggregate — EXACT continuous percentiles
+    (linear interpolation; Spark `percentile` == DuckDB `quantile_cont`)
+    per event type."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_agg_grouping_sets(spark, sf_dir):
+    """SURVEY §2.5 grouping-sets family — explicit GROUPING SETS
+    ((region, nation), (region), ()) supplier counts; complements
+    cube/rollup."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    )
+    joined.createOrReplaceTempView("_gs_supplier")
+    return spark.sql(
+        """
+        SELECT coalesce(r_name, 'ALL') AS region,
+               coalesce(n_name, 'ALL') AS nation,
+               count(*) AS n_supp
+        FROM _gs_supplier
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        """
+    )
+
+
 def q_stream_sessionize(spark, sf_dir):
     """SURVEY §2.11 custom stateful streaming — applyInPandasWithState
     sessionization (streaming/stateful.py) run to completion with
@@ -975,6 +1027,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "src_toc_file": q_src_toc_file,
     "stream_sessionize": q_stream_sessionize,
     "sim_ivf_build": q_sim_ivf_build,
+    "prj_date_math": q_prj_date_math,
+    "agg_percentile": q_agg_percentile,
+    "agg_grouping_sets": q_agg_grouping_sets,
 }
 
 
@@ -1577,6 +1632,33 @@ ORACLE_SQL: dict[str, str] = {
     "src_toc_file": """
         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_body_chars
         FROM documents
+    """,
+    "prj_date_math": """
+        SELECT event_id,
+               CAST(year(ts) AS INT) AS y,
+               CAST(month(ts) AS INT) AS m,
+               CAST(day(ts) AS INT) AS d,
+               CAST(hour(ts) AS INT) AS h,
+               CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+               CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT)
+                 AS days_since
+        FROM events
+    """,
+    "agg_percentile": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """,
+    "agg_grouping_sets": """
+        SELECT coalesce(r_name, 'ALL') AS region,
+               coalesce(n_name, 'ALL') AS nation,
+               count(*) AS n_supp
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
     """,
     "stream_sessionize": """
         WITH flagged AS (
