@@ -202,10 +202,23 @@ def main() -> None:
     # host reliably delivers the cores (the hw probe below shows it does
     # NOT reliably deliver all 32), so 2v8 isolates the JOB's coordination
     # overhead — the thing the rule is about.
-    p_small = run_child("local[2]", repl=PRIMARY_REPL)
-    print(json.dumps({"pair": "primary", **p_small}))
-    p_big = run_child("local[8]", repl=PRIMARY_REPL)
-    print(json.dumps({"pair": "primary", **p_big}))
+    #
+    # The VM's deliverable per-core throughput itself swings 20-50%
+    # minute-to-minute (measured: identical back-to-back runs differ 1.5x),
+    # so the configs INTERLEAVE across rounds and the best throughput per
+    # config is kept — best-of filters the host's bad minutes, which hit
+    # both configs alike, without favoring either side of the ratio.
+    p_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_PRIMARY_ROUNDS", "2"))
+    p_small = p_big = None
+    for i in range(p_rounds):
+        s = run_child("local[2]", repl=PRIMARY_REPL)
+        print(json.dumps({"pair": "primary", "round": i, **s}))
+        if p_small is None or s["triples_per_sec"] > p_small["triples_per_sec"]:
+            p_small = s
+        b = run_child("local[8]", repl=PRIMARY_REPL)
+        print(json.dumps({"pair": "primary", "round": i, **b}))
+        if p_big is None or b["triples_per_sec"] > p_big["triples_per_sec"]:
+            p_big = b
     primary_eff = p_big["triples_per_sec"] / (4.0 * p_small["triples_per_sec"])
 
     # SUPPLEMENTARY pair — 8 vs 32 cores on the 4x-bigger input, with a
