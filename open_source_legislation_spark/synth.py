@@ -262,7 +262,13 @@ def make_transcripts(
     remaining = n_turns_target - hot_turns
     ci = 0
     while remaining > 0:
-        n = int(min(remaining, max(3, rng.zipf(1.6) * 4)))
+        # Zipf tail capped at half the designated hot conversation's size:
+        # the zipf(1.6) tail is heavy enough that one uncapped draw can
+        # swallow over half the corpus into a single conv (observed: 59% at
+        # 500k turns for some seeds), turning the skew KNOB (hot_fraction)
+        # into an accident of the rng stream; the cap keeps conv-hot-0 the
+        # unique maximum
+        n = int(min(remaining, max(3, min(rng.zipf(1.6) * 4, hot_turns // 2))))
         rows.extend(_gen_conv_turns(rng, f"conv-{ci:06d}", n))
         remaining -= n
         ci += 1
