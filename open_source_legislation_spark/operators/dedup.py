@@ -325,8 +325,14 @@ def embedding_near_dup_pairs(
     )
     # chunk-pair enumeration: explode each chunk id against [blk, max_blk]
     # (broadcast 1-row max) — pure JVM, no Cartesian anywhere in the plan;
-    # ids with no data (vec_id gaps) drop out in the inner equi-joins below
-    maxb = g.agg(F.max("blk").alias("maxb"))
+    # ids with no data (vec_id gaps) drop out in the inner equi-joins below.
+    # max(blk) comes from the RAW table, not from g: deriving it from the
+    # packed aggregation would recompute the whole collect_list shuffle a
+    # third time just to read one number
+    maxb = (
+        embeddings.filter(F.col("embedding").isNotNull())
+        .agg(F.floor(F.max("vec_id") / block).alias("maxb"))
+    )
     bp = (
         g.select("blk")
         .crossJoin(F.broadcast(maxb))
@@ -358,7 +364,12 @@ def embedding_near_dup_pairs(
                 B = np.array([v["embedding"] for v in row["vs_b"]], dtype=np.float64)
                 na = np.linalg.norm(A, axis=1, keepdims=True)
                 nb = np.linalg.norm(B, axis=1, keepdims=True)
-                C = np.round((A @ B.T) / (na * nb.T), 3)
+                C = (A @ B.T) / (na * nb.T)
+                # round HALF-AWAY-FROM-ZERO like F.round / the DuckDB
+                # oracle — np.round's half-to-even would flip the 3rd
+                # decimal on exact .0005 boundaries (the round-1
+                # hash-flake class)
+                C = np.trunc(np.abs(C) * 1000 + 0.5) / 1000 * np.sign(C)
                 ia, ib = np.nonzero(C >= threshold)
                 # chunks are contiguous vec_id ranges, so blk_a < blk_b
                 # already implies vec_a < vec_b; only the diagonal chunk

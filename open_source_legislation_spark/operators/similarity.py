@@ -130,6 +130,10 @@ def ivf_build(
         list(map(float, r.embedding))
         for r in base.orderBy("vec_id").limit(k).collect()
     ]
+    if not cents:
+        raise ValueError("ivf_build: no non-null embeddings to index")
+    # fewer vectors than requested cells: index what exists
+    k = min(k, len(cents))
 
     out_schema = T.StructType(
         list(base.schema.fields) + [T.StructField("cell", T.IntegerType())]

@@ -48,18 +48,25 @@ def token_counts_bpe(docs: DataFrame) -> DataFrame:
 
 def quality_scores(docs: DataFrame) -> DataFrame:
     """(doc_id, stopword_ratio, ttr, quality) — length/stopword/diversity
-    quality heuristic; score = weighted blend rounded to 3."""
+    quality heuristic; score = weighted blend truncated to 3 decimals.
+
+    The blend is FLOOR-truncated, not rounded: its rational components
+    (0.5·k/800 + 0.3·m/n + 0.2·s/n) frequently land on exact .xxx5
+    boundaries where Spark's HALF_UP and DuckDB's rint-style rounding
+    disagree (observed at sf0.1); floor over the bit-identical double is
+    engine-stable (same trick as enrich.hash_embed_expr)."""
     toks = _tokens(F.col("text"))
     n = F.size(toks)
     stop = F.size(F.filter(toks, lambda t: t.isin(_EN_STOPWORDS)))
     ttr = F.size(F.array_distinct(toks)) / n
     stop_ratio = stop / n
     length_score = F.least(F.col("n_chars") / F.lit(400.0), F.lit(1.0))
+    blend = 0.5 * length_score + 0.3 * ttr + 0.2 * stop_ratio
     return docs.select(
         "doc_id",
         F.round(stop_ratio, 3).alias("stopword_ratio"),
         F.round(ttr, 3).alias("ttr"),
-        F.round(0.5 * length_score + 0.3 * ttr + 0.2 * stop_ratio, 3).alias("quality"),
+        (F.floor(blend * 1000) / 1000).alias("quality"),
     )
 
 

@@ -817,8 +817,12 @@ def q_src_toc_file(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     out = f"{tempfile.gettempdir()}/oslspark_toc_src"
+    # newlines fold to spaces (length-preserving, so n_body_chars still
+    # equals length(text)) and null text becomes '' — without these a
+    # multi-line or null document would break the one-row-per-line contract
+    body = F.coalesce(F.regexp_replace(F.col("text"), r"[\r\n]", " "), F.lit(""))
     d.select(
-        F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text")).alias("value")
+        F.concat(F.col("doc_id").cast("string"), F.lit("|"), body).alias("value")
     ).write.mode("overwrite").text(out)
     lines = src_io.read_toc_lines(spark, out)
     id_str = F.substring_index(F.col("value"), "|", 1)
@@ -919,7 +923,9 @@ def q_stream_sessionize(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_sessionize: AvailableNow run exceeded 300 s")
     out = spark.table("oslspark_sessions")
     # values are 2-dp decimals, so the sequential float64 state sum rounds
     # exactly; decimal-cast keeps the comparison order-independent
@@ -1516,10 +1522,19 @@ ORACLE_SQL: dict[str, str] = {
                round(len(list_filter(w, x -> x IN ('the','a','of','and','in','to','is')))
                      * 1.0 / len(w), 3) AS stopword_ratio,
                round(len(list_distinct(w)) * 1.0 / len(w), 3) AS ttr,
-               round(0.5 * least(n_chars / 400.0, 1.0)
-                     + 0.3 * (len(list_distinct(w)) * 1.0 / len(w))
-                     + 0.2 * (len(list_filter(w, x -> x IN ('the','a','of','and','in','to','is')))
-                              * 1.0 / len(w)), 3) AS quality
+               -- floor-truncated blend over double-forced arithmetic in the
+               -- SAME operation order as the Spark expression: bit-identical
+               -- doubles -> identical floor (exact .xxx5 blend values made
+               -- round() diverge between the engines)
+               floor((CAST(0.5 AS DOUBLE)
+                        * least(CAST(n_chars AS DOUBLE) / CAST(400 AS DOUBLE),
+                                CAST(1 AS DOUBLE))
+                      + CAST(0.3 AS DOUBLE)
+                        * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+                      + CAST(0.2 AS DOUBLE)
+                        * (CAST(len(list_filter(w, x -> x IN
+                             ('the','a','of','and','in','to','is'))) AS DOUBLE)
+                           / len(w))) * 1000) / 1000 AS quality
         FROM t
     """,
     "ta_langid": """
@@ -1630,7 +1645,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM per_batch
     """,
     "src_toc_file": """
-        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_body_chars
+        SELECT doc_id, CAST(length(coalesce(text, '')) AS BIGINT) AS n_body_chars
         FROM documents
     """,
     "prj_date_math": """

@@ -280,8 +280,11 @@ def term_slug(term: str) -> str:
 # announces that the NEXT quoted definition is nested one level under it
 # (reference subdefinition recursion, scrapeECFR.py:843-865;
 # Definition.subdefinitions pydanticModels.py:138-165) — flattened here with
-# parent-term provenance, one level deep
-_RE_SUBMARK = re.compile(r"[,:;]?\s*(?:including[:,]?)?\s*\(\w{1,3}\)$")
+# parent-term provenance, one level deep. The enumerator must be preceded
+# by whitespace: a statutory citation like 'section 12(a)' glues the paren
+# to the number and is NOT a subitem marker (it would otherwise be
+# truncated out of the definition body).
+_RE_SUBMARK = re.compile(r"[,:;]?\s*(?:including[:,]?)?\s+\(\w{1,3}\)$")
 
 
 def extract_definitions(text: str, in_definitions_scope: bool) -> list[dict]:

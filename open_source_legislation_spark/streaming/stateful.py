@@ -90,9 +90,8 @@ def sessionize_stream(
         else:
             rows = pd.concat(list(pdfs), ignore_index=True)
             rows = rows.sort_values("ts", kind="mergesort")
-            ts_us = rows["ts"].astype("int64").to_numpy()  # epoch micros? ns
-            # pandas datetime64[ns] → ns; convert to us for the state carry
-            ts_us = ts_us // 1_000
+            # pandas datetime64[ns] → epoch nanos; carry state in micros
+            ts_us = rows["ts"].astype("int64").to_numpy() // 1_000
             vals = rows["value"].astype("float64").to_numpy()
 
             if state.exists:

@@ -208,7 +208,7 @@ def main() -> None:
     # so the configs INTERLEAVE across rounds and the best throughput per
     # config is kept — best-of filters the host's bad minutes, which hit
     # both configs alike, without favoring either side of the ratio.
-    p_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_PRIMARY_ROUNDS", "2"))
+    p_rounds = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_PRIMARY_ROUNDS", "2")))
     p_small = p_big = None
     for i in range(p_rounds):
         s = run_child("local[2]", repl=PRIMARY_REPL)
@@ -225,7 +225,7 @@ def main() -> None:
     # null-benchmark hardware probe. The VM host's deliverable all-core
     # throughput swings 30-50% minute-to-minute, so configs interleave
     # across rounds and the best round per config is kept.
-    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "1"))
+    rounds = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "1")))
     small = big = None
     probe8 = probe32 = None
     for i in range(rounds):

@@ -87,6 +87,16 @@ def test_subdefinition_rule():
         "“A” means one thing. “B” means another thing.", False
     )
     assert all(d["parent_term"] is None for d in flat)
+    # a statutory citation's glued paren is NOT a subitem marker: the body
+    # keeps the citation and the following definition stays top-level
+    cited = rules.extract_definitions(
+        "“Act” means the procedure described in section 12(a). "
+        "“Permit” means a license.",
+        False,
+    )
+    by = {d["term"]: d for d in cited}
+    assert by["act"]["definition"] == "the procedure described in section 12(a)"
+    assert by["permit"]["parent_term"] is None
 
 
 def test_addendum_rule():
