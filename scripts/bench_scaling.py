@@ -86,7 +86,7 @@ def child(master: str) -> None:
         res = run_pipeline(spark, transcripts, entity_dict, num_partitions=cores)
         n = res.triples.count()
         wall = time.time() - t0
-        res.turns.unpersist()
+        res.cleanup()
         return wall, n
 
     one_run()  # warm-up: JIT/codegen, Python worker pool spin-up

@@ -32,7 +32,7 @@ def _frames(spark, entity_dict_df, pdf):
             set(map(tuple, res.turns.select(*_COLS).collect())),
             set(map(tuple, res.triples.select("subj", "pred", "obj").collect())),
         )
-        res.turns.unpersist()
+        res.cleanup()
     return out
 
 
@@ -72,7 +72,7 @@ def test_stream_engine_partitioning_invariant(spark, entity_dict_df):
             got = set(
                 map(tuple, res.triples.select("subj", "pred", "obj").collect())
             )
-            res.turns.unpersist()
+            res.cleanup()
             if base is None:
                 base = got
             else:

@@ -70,7 +70,7 @@ def _triples_set(spark, pdf, parts=None):
     tdf = spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS)
     res = run_pipeline(spark, tdf, ed, num_partitions=parts)
     out = set(map(tuple, res.triples.select("subj", "pred", "obj").collect()))
-    res.turns.unpersist()
+    res.cleanup()
     return out
 
 
