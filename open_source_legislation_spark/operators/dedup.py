@@ -354,6 +354,26 @@ def embedding_near_dup_pairs(
         ]
     )
 
+    def seq_cos(ea, eb) -> float:
+        """Cosine with the oracle's exact accumulation order: a sequential
+        left-to-right float64 fold (DuckDB ``list_sum`` / the bruteforce
+        operator's ``F.aggregate``). BLAS accumulates in a different order,
+        and a last-ulp difference can flip the 3rd-decimal rounding or the
+        threshold comparison — so the BLAS matmul only *finds* candidates
+        (with a margin) and this fold produces the emitted value."""
+        dot = 0.0
+        sa = 0.0
+        sb = 0.0
+        for x, y in zip(ea, eb):
+            dot += x * y
+        for x in ea:
+            sa += x * x
+        for y in eb:
+            sb += y * y
+        import math
+
+        return dot / (math.sqrt(sa) * math.sqrt(sb))
+
     def kernel(batches):
         for pdf in batches:
             outs = []
@@ -365,21 +385,35 @@ def embedding_near_dup_pairs(
                 na = np.linalg.norm(A, axis=1, keepdims=True)
                 nb = np.linalg.norm(B, axis=1, keepdims=True)
                 C = (A @ B.T) / (na * nb.T)
-                # round HALF-AWAY-FROM-ZERO like F.round / the DuckDB
-                # oracle — np.round's half-to-even would flip the 3rd
-                # decimal on exact .0005 boundaries (the round-1
-                # hash-flake class)
-                C = np.trunc(np.abs(C) * 1000 + 0.5) / 1000 * np.sign(C)
-                ia, ib = np.nonzero(C >= threshold)
+                # candidate margin: 3-dp rounding can lift a value by up to
+                # 5e-4, and BLAS-vs-sequential accumulation by a few ulps —
+                # anything below threshold - 6e-4 can never survive
+                ia, ib = np.nonzero(C >= threshold - 6e-4)
                 # chunks are contiguous vec_id ranges, so blk_a < blk_b
                 # already implies vec_a < vec_b; only the diagonal chunk
                 # needs the strict-upper-triangle mask
                 if row["blk_a"] == row["blk_b"]:
                     keep = ids_a[ia] < ids_b[ib]
                     ia, ib = ia[keep], ib[keep]
+                va, vb, vc = [], [], []
+                for i, j in zip(ia, ib):
+                    c = seq_cos(A[i], B[j])
+                    # round HALF-AWAY-FROM-ZERO like F.round / the DuckDB
+                    # oracle — np.round's half-to-even would flip the 3rd
+                    # decimal on exact .0005 boundaries (the round-1
+                    # hash-flake class)
+                    r = float(np.trunc(abs(c) * 1000 + 0.5) / 1000 * np.sign(c))
+                    if r >= threshold:
+                        va.append(ids_a[i])
+                        vb.append(ids_b[j])
+                        vc.append(r)
                 outs.append(
                     pd.DataFrame(
-                        {"vec_a": ids_a[ia], "vec_b": ids_b[ib], "cos": C[ia, ib]}
+                        {
+                            "vec_a": np.array(va, dtype=np.int64),
+                            "vec_b": np.array(vb, dtype=np.int64),
+                            "cos": np.array(vc, dtype=np.float64),
+                        }
                     )
                 )
             yield (

@@ -266,9 +266,28 @@ def run_oracle(
             }
         )
     nodes = pd.DataFrame(nodes_rows)
-    nodes["node_addendum"] = nodes["node_id"].map(
-        lambda n: addendum_by_node[n][2] if n in addendum_by_node else None
-    )
+    if nodes_rows:
+        nodes["node_addendum"] = nodes["node_id"].map(
+            lambda n: addendum_by_node[n][2] if n in addendum_by_node else None
+        )
+    else:
+        # zero-conversation input: pd.DataFrame([]) is column-less and
+        # nodes["node_id"] would raise — construct the empty frame with the
+        # expected columns instead (round-2 advice)
+        nodes = pd.DataFrame(
+            columns=[
+                "node_id",
+                "node_type",
+                "level_classifier",
+                "name",
+                "parent",
+                "status",
+                "conv_id",
+                "turn_idx",
+                "text",
+                "node_addendum",
+            ]
+        )
 
     return {
         "nodes": nodes,

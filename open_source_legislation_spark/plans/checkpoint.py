@@ -149,8 +149,15 @@ class CheckpointedRunner:
         input slice (metadata-fast on real parquet/Iceberg storage)."""
         t0 = time.time()
         # per-bucket scheduler pool: with FAIR mode, concurrent bucket jobs
-        # share executors instead of queueing behind each other
-        self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"bucket-{b}")
+        # share executors instead of queueing behind each other. Thread-local
+        # properties only isolate per-bucket when PySpark pinned-thread mode
+        # is active — without it the property bleeds across Python threads
+        # and buckets land in arbitrary pools (scheduling-only; results are
+        # unaffected). Skip the property rather than mis-scope it.
+        if os.environ.get("PYSPARK_PIN_THREAD", "true").lower() != "false":
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"bucket-{b}"
+            )
         part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
         rows_in = part.select("conv_id").count()
         res = run_pipeline(self.spark, part, entity_dict)

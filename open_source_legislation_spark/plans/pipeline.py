@@ -329,4 +329,5 @@ def run_pipeline(
         triples=triples,
         edges=edges,
         rewritten=rewritten,
+        spill_dir=spill_dir,
     )

@@ -533,13 +533,16 @@ def q_window_session(spark, sf_dir):
             F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
         )
     )
-    # decimal sum: order-independent, so Spark's partial-agg order vs the
-    # oracle's can't flip a rounding boundary (round-1 hash-mismatch fix)
+    # float-free hashed payload (round-3): the value layer was bit-exact vs
+    # DuckDB two rounds running yet the driver row stayed red, pointing at a
+    # driver-environment float normalization — so no doubles ever reach the
+    # hash. The session total is integer CENTS: exact decimal sum × 100,
+    # rounded (still in decimal arithmetic), emitted as BIGINT on both sides.
     return sess.groupBy("user_id", "session_no").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
-        .cast("double")
-        .alias("session_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")) * 100, 0)
+        .cast("long")
+        .alias("session_cents"),
     )
 
 
@@ -816,7 +819,8 @@ def q_src_toc_file(spark, sf_dir):
     from .sources import io as src_io
 
     d = _t(spark, sf_dir, "documents")
-    out = f"{tempfile.gettempdir()}/oslspark_toc_src"
+    # per-run dir: concurrent contract runs must not clobber each other
+    out = tempfile.mkdtemp(prefix="oslspark_toc_src_")
     # newlines fold to spaces (length-preserving, so n_body_chars still
     # equals length(text)) and null text becomes '' — without these a
     # multi-line or null document would break the one-row-per-line contract
@@ -894,11 +898,15 @@ def q_stream_sessionize(spark, sf_dir):
     the oracle reproduces exactly that cutoff."""
     import shutil
     import tempfile
+    import uuid
 
     from .streaming.stateful import sessionize_stream
 
-    src_dir = f"{tempfile.gettempdir()}/oslspark_stream_events"
-    shutil.rmtree(src_dir, ignore_errors=True)
+    # per-run temp root + unique memory-sink name: two concurrent contract/
+    # bench runs on the same host must not clobber each other's inputs,
+    # checkpoints, or sink tables (round-2 advice)
+    run_root = tempfile.mkdtemp(prefix="oslspark_stream_")
+    src_dir = f"{run_root}/events"
     import os
 
     os.makedirs(src_dir)
@@ -913,12 +921,11 @@ def q_stream_sessionize(spark, sf_dir):
         .withColumn("user_id", F.col("user_id").cast("string"))
     )
     sessions = sessionize_stream(stream, gap_seconds=3600)
-    ckpt = f"{tempfile.gettempdir()}/oslspark_stream_ckpt"
-    shutil.rmtree(ckpt, ignore_errors=True)
+    sink = f"oslspark_sessions_{uuid.uuid4().hex[:8]}"
     q = (
         sessions.writeStream.format("memory")
-        .queryName("oslspark_sessions")
-        .option("checkpointLocation", ckpt)
+        .queryName(sink)
+        .option("checkpointLocation", f"{run_root}/ckpt")
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
@@ -926,17 +933,17 @@ def q_stream_sessionize(spark, sf_dir):
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError("stream_sessionize: AvailableNow run exceeded 300 s")
-    out = spark.table("oslspark_sessions")
-    # values are 2-dp decimals, so the sequential float64 state sum rounds
-    # exactly; decimal-cast keeps the comparison order-independent
+    out = spark.table(sink)
+    # float-free hashed payload (same driver-normalization fix as
+    # window_session): the sequential float64 state sum on 2-dp inputs is
+    # within ~1e-9 of the exact cents integer, so nearest-integer rounding
+    # of value×100 lands exactly — emitted as BIGINT on both sides
     return out.select(
         "user_id",
         "session_start",
         "session_end",
         "n_events",
-        F.round(F.col("session_value").cast("decimal(18,6)"), 2)
-        .cast("double")
-        .alias("session_value"),
+        F.round(F.col("session_value") * 100, 0).cast("long").alias("session_cents"),
     )
 
 
@@ -960,7 +967,8 @@ def q_snk_parquet_roundtrip(spark, sf_dir):
 
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
-    out = f"{tempfile.gettempdir()}/oslspark_snk_roundtrip"
+    # per-run dir: concurrent contract runs must not clobber each other
+    out = tempfile.mkdtemp(prefix="oslspark_snk_roundtrip_")
     n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
         "n_name", "r_name"
     ).write.mode("overwrite").parquet(out)
@@ -969,7 +977,97 @@ def q_snk_parquet_roundtrip(spark, sf_dir):
     )
 
 
+# Queries with NO SQL oracle by design (the driver records a rows-only
+# check): genuinely non-SQL-expressible ops. Everything else MUST have an
+# ORACLE_SQL entry — pinned by tests/test_contract_registry.py.
+ROWS_ONLY: set[str] = {"sim_ivf_build"}
+
+# The driver's correctness gate checks exactly this many leading dict
+# entries per round.
+DRIVER_WINDOW = 50
+
+# Keys that still lack a green driver CORRECTNESS row (red or never
+# checked) — these MUST sit inside the first DRIVER_WINDOW positions.
+# Maintained per round from the latest CORRECTNESS_r*.json.
+NEVER_DRIVER_VERIFIED: list[str] = [
+    "window_session",  # red in r1/r2 (driver float normalization; now cents)
+    "flt_class_allow",  # green r1, evicted from window in r2
+    "flt_disallowed_class",  # green r1, evicted from window in r2
+    "prj_br_strip",
+    "agg_refhub_merge",
+    "dedup_paragraph",
+    "sort_paragraph_index",
+    "agg_rollup_region_nation",
+    "window_lead",
+    "agg_total_rows",
+    "snk_parquet_roundtrip",
+    "src_toc_file",
+    "stream_sessionize",
+    "sim_ivf_build",
+    "prj_date_math",
+    "agg_percentile",
+    "agg_grouping_sets",
+]
+
+# Dict ORDER is part of the driver contract: the driver's correctness gate
+# checks exactly the FIRST 50 entries per round. Ordering policy (pinned by
+# tests/test_contract_registry.py):
+#   1. PRIORITY block — queries with no green driver row yet (new this
+#      round, or evicted from the window in a prior round) come first;
+#   2. KEEPER block — fills the 50-slot window with green queries;
+#   3. ROTATED block (position >50) — multi-round-green queries whose r1/r2
+#      driver rows stand as history.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- priority: no green driver row yet (driver checks first 50 only) ---
+    "window_session": q_window_session,
+    "flt_class_allow": q_flt_class_allow,
+    "flt_disallowed_class": q_flt_disallowed_class,
+    "prj_br_strip": q_prj_br_strip,
+    "agg_refhub_merge": q_agg_refhub_merge,
+    "dedup_paragraph": q_dedup_paragraph,
+    "sort_paragraph_index": q_sort_paragraph_index,
+    "agg_rollup_region_nation": q_agg_rollup_region_nation,
+    "window_lead": q_window_lead,
+    "agg_total_rows": q_agg_total_rows,
+    "snk_parquet_roundtrip": q_snk_parquet_roundtrip,
+    "src_toc_file": q_src_toc_file,
+    "stream_sessionize": q_stream_sessionize,
+    "sim_ivf_build": q_sim_ivf_build,
+    "prj_date_math": q_prj_date_math,
+    "agg_percentile": q_agg_percentile,
+    "agg_grouping_sets": q_agg_grouping_sets,
+    # -- keepers: green in r2, stay inside the 50-slot window --------------
+    "join_incoming_refs": q_join_incoming_refs,
+    "agg_siblings": q_agg_siblings,
+    "prj_citation": q_prj_citation,
+    "prj_number_extract": q_prj_number_extract,
+    "set_intersect": q_set_intersect,
+    "set_union_hubs": q_set_union_hubs,
+    "dedup_skip": q_dedup_skip,
+    "sort_pop_last": q_sort_pop_last,
+    "agg_distinct_sources": q_agg_distinct_sources,
+    "agg_usage_cost": q_agg_usage_cost,
+    "topk_per_group": q_topk_per_group,
+    "src_json_parse": q_src_json_parse,
+    "mm_metadata": q_mm_metadata,
+    "mm_frame_sample": q_mm_frame_sample,
+    "mm_resize": q_mm_resize,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "sim_topk_cosine": q_sim_topk_cosine,
+    "sim_topk_ivf": q_sim_topk_ivf,
+    "sim_ann_lsh": q_sim_ann_lsh,
+    "ta_tokens": q_ta_tokens,
+    "ta_tokens_bpe": q_ta_tokens_bpe,
+    "enrich_hash_embed": q_enrich_hash_embed,
+    "ta_quality": q_ta_quality,
+    "ta_langid": q_ta_langid,
+    "ta_fingerprint": q_ta_fingerprint,
+    "join_parent_exists": q_join_parent_exists,
+    # -- rotated out (green r1+r2; driver history stands) ------------------
     "agg_count_by_level": q_agg_count_by_level,
     "join_orphan_anti": q_join_orphan_anti,
     "join_entity_link": q_join_entity_link,
@@ -989,53 +1087,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flt_unprocessed": q_flt_unprocessed,
     "cc_alias": q_cc_alias,
     "join_defs_scope": q_join_defs_scope,
-    "join_incoming_refs": q_join_incoming_refs,
-    "agg_siblings": q_agg_siblings,
-    "prj_citation": q_prj_citation,
-    "prj_number_extract": q_prj_number_extract,
-    "set_intersect": q_set_intersect,
-    "set_union_hubs": q_set_union_hubs,
-    "dedup_skip": q_dedup_skip,
-    "sort_pop_last": q_sort_pop_last,
-    "agg_distinct_sources": q_agg_distinct_sources,
-    "agg_usage_cost": q_agg_usage_cost,
-    "topk_per_group": q_topk_per_group,
-    "src_json_parse": q_src_json_parse,
-    "window_session": q_window_session,
-    "mm_metadata": q_mm_metadata,
-    "mm_frame_sample": q_mm_frame_sample,
-    "mm_resize": q_mm_resize,
-    "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
-    "sim_topk_cosine": q_sim_topk_cosine,
-    "sim_topk_ivf": q_sim_topk_ivf,
-    "sim_ann_lsh": q_sim_ann_lsh,
-    "ta_tokens": q_ta_tokens,
-    "ta_tokens_bpe": q_ta_tokens_bpe,
-    "enrich_hash_embed": q_enrich_hash_embed,
-    "ta_quality": q_ta_quality,
-    "ta_langid": q_ta_langid,
-    "ta_fingerprint": q_ta_fingerprint,
-    "join_parent_exists": q_join_parent_exists,
-    "flt_class_allow": q_flt_class_allow,
-    "flt_disallowed_class": q_flt_disallowed_class,
-    "prj_br_strip": q_prj_br_strip,
-    "agg_refhub_merge": q_agg_refhub_merge,
-    "dedup_paragraph": q_dedup_paragraph,
-    "sort_paragraph_index": q_sort_paragraph_index,
-    "agg_rollup_region_nation": q_agg_rollup_region_nation,
-    "window_lead": q_window_lead,
-    "agg_total_rows": q_agg_total_rows,
-    "snk_parquet_roundtrip": q_snk_parquet_roundtrip,
-    "src_toc_file": q_src_toc_file,
-    "stream_sessionize": q_stream_sessionize,
-    "sim_ivf_build": q_sim_ivf_build,
-    "prj_date_math": q_prj_date_math,
-    "agg_percentile": q_agg_percentile,
-    "agg_grouping_sets": q_agg_grouping_sets,
 }
 
 
@@ -1378,8 +1429,8 @@ ORACLE_SQL: dict[str, str] = {
           FROM flagged
         )
         SELECT user_id, session_no, count(*) AS n_events,
-               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
-                 AS session_value
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))) * 100, 0) AS BIGINT)
+                 AS session_cents
         FROM sess GROUP BY user_id, session_no
     """,
     "mm_metadata": """
@@ -1692,8 +1743,8 @@ ORACLE_SQL: dict[str, str] = {
           SELECT user_id, session_no,
                  min(ts) AS session_start, max(ts) AS session_end,
                  CAST(count(*) AS INT) AS n_events,
-                 CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
-                   AS session_value
+                 CAST(round(sum(CAST(value AS DECIMAL(18,6))) * 100, 0) AS BIGINT)
+                   AS session_cents
           FROM sess GROUP BY user_id, session_no
         )
         -- AvailableNow runs a final timeout batch with the watermark at the
@@ -1701,7 +1752,7 @@ ORACLE_SQL: dict[str, str] = {
         -- timestamp (ms) is strictly below that watermark has been emitted
         -- (in-data-closed sessions satisfy this a fortiori); only sessions
         -- within the last hour of the stream stay open in state
-        SELECT user_id, session_start, session_end, n_events, session_value
+        SELECT user_id, session_start, session_end, n_events, session_cents
         FROM agg
         WHERE floor(epoch_us(session_end) / 1000) + 3600000
               < (SELECT floor(max(epoch_us(ts)) / 1000) FROM events)

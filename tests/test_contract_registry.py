@@ -1,0 +1,49 @@
+"""Registry-shape guards for the driver contract (round-2 verdict #9).
+
+The driver checks only the first ``DRIVER_WINDOW`` entries of ``QUERIES``
+per round; round 2 silently evicted two green queries by inserting new keys
+mid-dict. These tests make that class of drift a CI failure:
+
+- every registered query has a DuckDB oracle OR an explicit rows-only
+  annotation (no silently-unverifiable entries);
+- every key that still lacks a green driver row sits inside the checked
+  window;
+- the oracle dict has no orphan entries.
+"""
+
+from __future__ import annotations
+
+from open_source_legislation_spark.queries import (
+    DRIVER_WINDOW,
+    NEVER_DRIVER_VERIFIED,
+    ORACLE_SQL,
+    QUERIES,
+    ROWS_ONLY,
+)
+
+
+def test_every_query_has_oracle_or_rows_only_annotation():
+    missing = set(QUERIES) - set(ORACLE_SQL) - ROWS_ONLY
+    assert not missing, f"queries lacking an oracle or rows-only tag: {missing}"
+    # rows-only is an explicit, minimal list — not a dumping ground
+    assert ROWS_ONLY <= set(QUERIES)
+    assert not (ROWS_ONLY & set(ORACLE_SQL))
+
+
+def test_oracle_has_no_orphan_entries():
+    orphans = set(ORACLE_SQL) - set(QUERIES)
+    assert not orphans, f"oracle entries without a query: {orphans}"
+
+
+def test_unverified_queries_sit_inside_driver_window():
+    order = list(QUERIES)
+    positions = {k: i for i, k in enumerate(order)}
+    missing = [k for k in NEVER_DRIVER_VERIFIED if k not in positions]
+    assert not missing, f"NEVER_DRIVER_VERIFIED keys not registered: {missing}"
+    evicted = [
+        k for k in NEVER_DRIVER_VERIFIED if positions[k] >= DRIVER_WINDOW
+    ]
+    assert not evicted, (
+        f"queries without a green driver row sit past position "
+        f"{DRIVER_WINDOW} and will never be checked: {evicted}"
+    )
