@@ -603,9 +603,28 @@ def derive_nodes_stream(
     )
 
 
+def citation_expr(node_id_col) -> "F.Column":
+    """Column twin of :func:`rules.node_citation` (reference
+    create_citation_from_level_classifier, scrapeECFR.py:1174-1210):
+    a pure ``regexp_extract``/``format`` chain — whole-stage codegen, no
+    UDF. Levels appear in the id path in rank order (the parent stack is
+    rank-monotone), so assembling in ``_RANKED_LEVELS`` order matches the
+    path order the Python rule walks."""
+    pieces = []
+    for lvl in _RANKED_LEVELS:
+        label = rules.CITATION_LABELS[lvl]
+        num = F.regexp_extract(
+            node_id_col, rf"/{lvl}=([0-9]+(?:\.[0-9]+)?[A-Za-z]?)", 1
+        )
+        pieces.append(F.when(num != "", F.concat(F.lit(label + " "), num)))
+    return F.nullif(F.concat_ws(", ", *pieces), F.lit(""))
+
+
 def nodes_table(derived: DataFrame) -> DataFrame:
     """Materialize the nodes table (reference CLAUDE.md:514-536 shape),
-    including one root node per conversation."""
+    including one root node per conversation and the bluebook-style
+    ``citation`` derived from the id path (reference node_citation,
+    scrapeECFR.py:1174-1210)."""
     node_rows = derived.filter(F.col("node_id").isNotNull()).select(
         F.col("node_id"),
         F.when(F.col("level_classifier") == "section", "content")
@@ -618,6 +637,7 @@ def nodes_table(derived: DataFrame) -> DataFrame:
         "conv_id",
         "turn_idx",
         F.col("clean_text").alias("text"),
+        citation_expr(F.col("node_id")).alias("citation"),
     )
     roots = (
         derived.select("conv_id").distinct().select(
@@ -630,9 +650,75 @@ def nodes_table(derived: DataFrame) -> DataFrame:
             "conv_id",
             F.lit(None).cast("int").alias("turn_idx"),
             F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("citation"),
         )
     )
     return node_rows.unionByName(roots)
+
+
+def node_text_agg(
+    derived: DataFrame,
+    addenda: DataFrame | None = None,
+    chunk_size: int = 1024,
+    sep: str = "\n",
+) -> DataFrame:
+    """Per-node ordered document text (reference ``NodeText`` — the ordered
+    array of ALL paragraphs under a section, pydanticModels.py:203-366,
+    serialized via ``to_list_text()`` :290-296).
+
+    Content turns (``node_id IS NULL``) group under ``current_node``; the
+    turn peeled as the node's addendum is EXCLUDED (the reference removes
+    the trailing source paragraph from the node body before storing it,
+    extract_addendum scrapeECFR.py:867-992). Two-phase chunk-salted
+    aggregation (the ``reassembly.reassemble_documents`` shape) bounds
+    per-reduce-task state on hot nodes at 10^12-turn scale; ``ord`` is
+    unique within a node's conversation, so chunk ranges align with text
+    order. ``addenda`` (one row per node, ≪ turns) rides a broadcast
+    anti-join.
+
+    Output: ``node_id, node_text_list (array<string>), node_text (string),
+    n_paragraphs``.
+    """
+    content = derived.filter(F.col("node_id").isNull()).select(
+        "current_node", "ord", "turn_idx", "clean_text"
+    )
+    if addenda is not None:
+        # (current_node, turn_idx) identifies the peeled turn: node ids are
+        # conv-prefixed and deduped turns have unique turn_idx per conv
+        peel = addenda.select(
+            F.col("current_node").alias("_an"), F.col("turn_idx").alias("_at")
+        )
+        content = content.join(
+            F.broadcast(peel),
+            (F.col("current_node") == F.col("_an"))
+            & (F.col("turn_idx") == F.col("_at")),
+            "left_anti",
+        )
+    content = content.select("current_node", "ord", "clean_text")
+    chunked = (
+        content.withColumn("chunk", (F.col("ord") / F.lit(chunk_size)).cast("long"))
+        .groupBy("current_node", "chunk")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ord"), F.col("clean_text")))
+            ).alias("arr")
+        )
+    )
+    stitched = chunked.groupBy("current_node").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk", "arr"))),
+                lambda s: s["arr"],
+            )
+        ).alias("parts")
+    )
+    texts = F.transform("parts", lambda s: s["clean_text"])
+    return stitched.select(
+        F.col("current_node").alias("node_id"),
+        texts.alias("node_text_list"),
+        F.concat_ws(sep, texts).alias("node_text"),
+        F.size("parts").alias("n_paragraphs"),
+    )
 
 
 def extract_mentions(derived: DataFrame) -> DataFrame:

@@ -82,6 +82,9 @@ def run_oracle(
     # node_id -> (conv_id, turn_idx, text): LAST addendum trailer under the
     # node wins (reference extract_addendum, scrapeECFR.py:867-992)
     addendum_by_node: dict[str, tuple[str, int, str]] = {}
+    # node_id -> ordered [(turn_idx, text)] of content turns under the node
+    # (reference NodeText paragraph list, pydanticModels.py:203-366)
+    node_texts: dict[str, list[tuple[int, str]]] = defaultdict(list)
 
     for conv_id, conv in df.groupby("conv_id", sort=True):
         root = rules.conv_root_id(conv_id)
@@ -161,6 +164,9 @@ def run_oracle(
                         }
                     )
                 continue
+
+            # content turn: paragraph of the current node's document text
+            node_texts[current_node].append((int(row["turn_idx"]), text))
 
             if rules.is_definitions_header(text):
                 in_defs = True
@@ -265,11 +271,23 @@ def run_oracle(
                 "turn_idx": tix,
             }
         )
+    def _node_text(n: str) -> str | None:
+        """Ordered paragraph join under the node, the peeled addendum turn
+        excluded (reference removes the trailing source paragraph from the
+        node body, extract_addendum scrapeECFR.py:905-940)."""
+        lst = node_texts.get(n, [])
+        ad = addendum_by_node.get(n)
+        if ad is not None:
+            lst = [(tix, t) for tix, t in lst if tix != ad[1]]
+        return "\n".join(t for _, t in lst) if lst else None
+
     nodes = pd.DataFrame(nodes_rows)
     if nodes_rows:
         nodes["node_addendum"] = nodes["node_id"].map(
             lambda n: addendum_by_node[n][2] if n in addendum_by_node else None
         )
+        nodes["node_text"] = nodes["node_id"].map(_node_text)
+        nodes["citation"] = nodes["node_id"].map(rules.node_citation)
     else:
         # zero-conversation input: pd.DataFrame([]) is column-less and
         # nodes["node_id"] would raise — construct the empty frame with the
@@ -286,6 +304,8 @@ def run_oracle(
                 "turn_idx",
                 "text",
                 "node_addendum",
+                "node_text",
+                "citation",
             ]
         )
 

@@ -269,9 +269,14 @@ def run_pipeline(
     addenda = _addenda(derived)
 
     # nodes enriched with the reference's per-node payloads: addendum
-    # (broadcast join — addenda ≪ nodes), BPE-ish token count
+    # (broadcast join — addenda ≪ nodes), the full per-node document text
+    # (NodeText.to_list_text, pydanticModels.py:290-296 — ordered content
+    # turns under the node, addendum peeled), BPE-ish token count
     # (scrapeECFR.py:359-360,1003-1007) and the phase-3 hash embedding
-    # (3_process.py:18-36) — both pure JVM expressions over node text
+    # (3_process.py:18-36) — token/embedding expressions run over the FULL
+    # node text (falling back to the marker heading for childless nodes)
+    node_texts = extract.node_text_agg(derived, addenda=addenda)
+    full_text = F.coalesce(F.col("node_text"), F.col("text"))
     nodes = (
         extract.nodes_table(derived)
         .join(
@@ -281,16 +286,17 @@ def run_pipeline(
             "node_id",
             "left",
         )
+        .join(node_texts, "node_id", "left")
         .withColumn(
             "n_tokens",
             F.when(
-                F.col("text").isNotNull(),
-                F.size(F.split(F.trim(F.lower("text")), r"\s+")),
+                full_text.isNotNull(),
+                F.size(F.split(F.trim(F.lower(full_text)), r"\s+")),
             ),
         )
         .withColumn(
             "embedding",
-            enrich.hash_embed_expr(F.coalesce(F.col("text"), F.lit("")), dim=16),
+            enrich.hash_embed_expr(F.coalesce(full_text, F.lit("")), dim=16),
         )
     )
 

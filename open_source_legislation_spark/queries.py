@@ -977,6 +977,60 @@ def q_snk_parquet_roundtrip(spark, sf_dir):
     )
 
 
+def q_agg_node_text(spark, sf_dir):
+    """Per-node document-text aggregate (reference NodeText.to_list_text,
+    pydanticModels.py:290-296; pipeline op extract.node_text_agg): a running
+    scope id (last marker row — signup events — via last(ignorenulls)) then
+    an ordered per-scope concat of the content rows. One window + one
+    aggregate sharing the user_id partitioning: a single exchange."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    scope = F.last(
+        F.when(F.col("event_type") == "signup", F.col("event_id")), ignorenulls=True
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    scoped = e.withColumn("scope", F.coalesce(scope, F.lit(-1)))
+    return (
+        scoped.filter(F.col("event_type") != "signup")
+        .groupBy("user_id", "scope")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("node_text"),
+            F.count("*").alias("n_turns"),
+        )
+    )
+
+
+def q_prj_citation_node(spark, sf_dir):
+    """Citation from the node-id PATH (reference
+    create_citation_from_level_classifier, scrapeECFR.py:1174-1210; pipeline
+    op extract.citation_expr): ids minted from lineitem keys — including a
+    -v_n version tag on even lines, which the citation strips — then the
+    pure regexp_extract/format chain (whole-stage codegen, no UDF)."""
+    li = _t(spark, sf_dir, "lineitem")
+    node_id = F.concat(
+        F.lit("conv=c/title="),
+        (F.col("l_orderkey") % 5 + 1).cast("string"),
+        F.lit("/section="),
+        F.col("l_linenumber").cast("string"),
+        F.when(F.col("l_linenumber") % 2 == 0, F.lit("-v_2")).otherwise(F.lit("")),
+    )
+    title = F.regexp_extract(node_id, r"/title=([0-9]+(?:\.[0-9]+)?[A-Za-z]?)", 1)
+    sec = F.regexp_extract(node_id, r"/section=([0-9]+(?:\.[0-9]+)?[A-Za-z]?)", 1)
+    citation = F.concat_ws(
+        ", ",
+        F.when(title != "", F.concat(F.lit("Tit. "), title)),
+        F.when(sec != "", F.concat(F.lit("§ "), sec)),
+    )
+    return li.select(node_id.alias("node_id"), citation.alias("citation")).distinct()
+
+
 # Queries with NO SQL oracle by design (the driver records a rows-only
 # check): genuinely non-SQL-expressible ops. Everything else MUST have an
 # ORACLE_SQL entry — pinned by tests/test_contract_registry.py.
@@ -1007,6 +1061,8 @@ NEVER_DRIVER_VERIFIED: list[str] = [
     "prj_date_math",
     "agg_percentile",
     "agg_grouping_sets",
+    "agg_node_text",  # new in r3 (per-node document text shape)
+    "prj_citation_node",  # new in r3 (citation-from-id-path shape)
 ]
 
 # Dict ORDER is part of the driver contract: the driver's correctness gate
@@ -1036,6 +1092,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prj_date_math": q_prj_date_math,
     "agg_percentile": q_agg_percentile,
     "agg_grouping_sets": q_agg_grouping_sets,
+    "agg_node_text": q_agg_node_text,
+    "prj_citation_node": q_prj_citation_node,
     # -- keepers: green in r2, stay inside the 50-slot window --------------
     "join_incoming_refs": q_join_incoming_refs,
     "agg_siblings": q_agg_siblings,
@@ -1761,5 +1819,31 @@ ORACLE_SQL: dict[str, str] = {
         SELECT r_name, count(*) AS n_nations
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
+    """,
+    "agg_node_text": """
+        WITH scoped AS (
+          SELECT user_id, ts, event_id, event_type,
+                 coalesce(last_value(CASE WHEN event_type = 'signup'
+                                          THEN event_id END IGNORE NULLS)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                          -1) AS scope
+          FROM events
+        )
+        SELECT user_id, scope,
+               string_agg(event_type, '|' ORDER BY ts, event_id) AS node_text,
+               count(*) AS n_turns
+        FROM scoped WHERE event_type != 'signup'
+        GROUP BY user_id, scope
+    """,
+    "prj_citation_node": """
+        SELECT DISTINCT
+               'conv=c/title=' || CAST(l_orderkey % 5 + 1 AS VARCHAR)
+                 || '/section=' || CAST(l_linenumber AS VARCHAR)
+                 || CASE WHEN l_linenumber % 2 = 0 THEN '-v_2' ELSE '' END
+                 AS node_id,
+               'Tit. ' || CAST(l_orderkey % 5 + 1 AS VARCHAR)
+                 || ', § ' || CAST(l_linenumber AS VARCHAR) AS citation
+        FROM lineitem
     """,
 }

@@ -146,6 +146,37 @@ def conv_root_id(conv_id: str) -> str:
     return f"conv={conv_id}"
 
 
+# Bluebook-ish level labels for citation assembly; '§' for sections matches
+# the reference's section citations (scrapeECFR.py:1174-1210).
+CITATION_LABELS: dict[str, str] = {
+    "title": "Tit.",
+    "chapter": "Ch.",
+    "part": "Pt.",
+    "section": "§",
+}
+
+# level number inside an id segment: digits, optional decimal, optional
+# letter suffix — stops BEFORE a '-v_n' version tag
+_RE_SEG_NUM = re.compile(r"^([0-9]+(?:\.[0-9]+)?[A-Za-z]?)")
+
+
+def node_citation(node_id: str) -> str | None:
+    """Bluebook-style citation derived from the id path, keyed per level
+    classifier (reference create_citation_from_level_classifier,
+    scrapeECFR.py:1174-1210): ``conv=c/title=4/section=1.2-v_2`` →
+    ``Tit. 4, § 1.2``. Version tags are display noise and are stripped;
+    the conv root itself has no citation (None)."""
+    pieces: list[str] = []
+    for seg in node_id.split("/")[1:]:
+        cls, _, num = seg.partition("=")
+        label = CITATION_LABELS.get(cls)
+        if label is None:
+            continue
+        m = _RE_SEG_NUM.match(num)
+        pieces.append(f"{label} {m.group(1) if m else num}")
+    return ", ".join(pieces) if pieces else None
+
+
 # --------------------------------------------------------------------------
 # Citation mention detection — transcript analog of
 # extract_paragraph_text_and_references (reference scrapeECFR.py:1112-1172)

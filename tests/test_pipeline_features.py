@@ -106,6 +106,55 @@ def test_addendum_rule():
     assert not rules.is_addendum("The source of the rule is unclear.")
 
 
+def test_node_text_matches_oracle(
+    spark, transcripts_df, entity_dict_df, transcripts_pd, entity_dict_pd
+):
+    """Per-node document text (reference NodeText.to_list_text,
+    pydanticModels.py:290-296): ordered content turns under each node,
+    addendum peeled — identical between the chunk-salted Spark aggregate
+    and the oracle's sequential walk."""
+    res = _pipeline(spark, transcripts_df, entity_dict_df)
+    got = {
+        r.node_id: r.node_text
+        for r in res.nodes.select("node_id", "node_text").collect()
+    }
+    o = oracle.run_oracle(transcripts_pd, entity_dict_pd)
+    exp = {
+        r.node_id: (r.node_text if isinstance(r.node_text, str) else None)
+        for r in o["nodes"].itertuples(index=False)
+    }
+    assert set(got) == set(exp)
+    diffs = {k for k in got if got[k] != exp[k]}
+    assert not diffs, f"node_text mismatch on {len(diffs)} nodes, e.g. {sorted(diffs)[:3]}"
+    # non-vacuous: many nodes carry multi-paragraph text
+    assert sum(1 for t in got.values() if t and "\n" in t) > 5
+    # the peeled addendum paragraph is NOT in the node body
+    withadd = res.nodes.filter(F.col("node_addendum").isNotNull()).select(
+        "node_text", "node_addendum"
+    )
+    for r in withadd.collect():
+        assert r.node_addendum not in (r.node_text or "").split("\n")
+
+
+def test_node_citation_matches_oracle(
+    spark, transcripts_df, entity_dict_df, transcripts_pd, entity_dict_pd
+):
+    """Bluebook-style citation from the id path (reference
+    create_citation_from_level_classifier, scrapeECFR.py:1174-1210):
+    JVM expression chain == pure-Python rule, version tags stripped."""
+    res = _pipeline(spark, transcripts_df, entity_dict_df)
+    got = {
+        r.node_id: r.citation
+        for r in res.nodes.select("node_id", "citation").collect()
+    }
+    exp = {nid: rules.node_citation(nid) for nid in got}
+    # roots have no citation; versioned nodes strip the -v_n tag
+    assert got == exp
+    assert any(c and c.startswith("Tit. ") and ", § " in c for c in got.values())
+    vers = [nid for nid in got if "-v_" in nid]
+    assert vers and all("-v_" not in (got[n] or "") for n in vers)
+
+
 def test_node_embeddings_and_topk(spark, transcripts_df, entity_dict_df):
     from open_source_legislation_spark.operators import similarity
 
