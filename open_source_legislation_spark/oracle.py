@@ -85,6 +85,11 @@ def run_oracle(
     # node_id -> ordered [(turn_idx, text)] of content turns under the node
     # (reference NodeText paragraph list, pydanticModels.py:203-366)
     node_texts: dict[str, list[tuple[int, str]]] = defaultdict(list)
+    # definition-scope closure inputs (reference fetch_definitions walk,
+    # pydanticModels.py:654-757): per-scope local dict entries and
+    # incorporated (scope, term, hub) pointers, corpus-wide
+    local_def_rows: list[tuple[str, str, str, int]] = []  # scope, term, def, tix
+    incorp_def_rows: list[tuple[str, str, str, int]] = []  # scope, term, hub, tix
 
     for conv_id, conv in df.groupby("conv_id", sort=True):
         root = rules.conv_root_id(conv_id)
@@ -221,6 +226,9 @@ def run_oracle(
                         obj = link_raw_key(src_mentions[0]["raw_key"], index)
                     if obj is None:
                         obj = d["incorporated_from"]
+                    incorp_def_rows.append(
+                        (current_node, d["term"], obj, int(row["turn_idx"]))
+                    )
                     triple_rows.append(
                         {
                             "subj": term_id,
@@ -231,6 +239,9 @@ def run_oracle(
                         }
                     )
                 else:
+                    local_def_rows.append(
+                        (current_node, d["term"], d["definition"], int(row["turn_idx"]))
+                    )
                     triple_rows.append(
                         {
                             "subj": term_id,
@@ -281,6 +292,21 @@ def run_oracle(
             lst = [(tix, t) for tix, t in lst if tix != ad[1]]
         return "\n".join(t for _, t in lst) if lst else None
 
+    # phase-3 relationship columns (reference node_direct_children /
+    # node_siblings / node_incoming_references, CLAUDE.md:171-174):
+    # parent → ordered child list (by (turn_idx, id), turn_idx -1 for
+    # roots — the Spark children_agg sort key), reverse cites aggregate
+    children: dict[str, list[tuple[int, str]]] = defaultdict(list)
+    for r in nodes_rows:
+        if r["parent"] is not None:
+            o = r["turn_idx"] if r["turn_idx"] is not None else -1
+            children[r["parent"]].append((o, r["node_id"]))
+    children_sorted = {p: [nid for _, nid in sorted(v)] for p, v in children.items()}
+    incoming: dict[str, set[str]] = defaultdict(set)
+    for t in triple_rows:
+        if t["pred"] == "cites":
+            incoming[t["obj"]].add(t["subj"])
+
     nodes = pd.DataFrame(nodes_rows)
     if nodes_rows:
         nodes["node_addendum"] = nodes["node_id"].map(
@@ -288,6 +314,18 @@ def run_oracle(
         )
         nodes["node_text"] = nodes["node_id"].map(_node_text)
         nodes["citation"] = nodes["node_id"].map(rules.node_citation)
+        nodes["direct_children"] = nodes["node_id"].map(
+            lambda n: children_sorted.get(n)
+        )
+        nodes["siblings"] = nodes.apply(
+            lambda r: [c for c in children_sorted[r["parent"]] if c != r["node_id"]]
+            if r["parent"] is not None
+            else None,
+            axis=1,
+        )
+        nodes["incoming_references"] = nodes["node_id"].map(
+            lambda n: sorted(incoming[n]) if n in incoming else None
+        )
     else:
         # zero-conversation input: pd.DataFrame([]) is column-less and
         # nodes["node_id"] would raise — construct the empty frame with the
@@ -306,14 +344,82 @@ def run_oracle(
                 "node_addendum",
                 "node_text",
                 "citation",
+                "direct_children",
+                "siblings",
+                "incoming_references",
             ]
         )
+
+    applicable = _applicable_definitions(
+        [r["node_id"] for r in nodes_rows], local_def_rows, incorp_def_rows
+    )
 
     return {
         "nodes": nodes,
         "triples": pd.DataFrame(triple_rows),
         "turns": pd.DataFrame(turn_rows),
+        "applicable_defs": applicable,
     }
+
+
+def _applicable_definitions(
+    node_ids: list[str],
+    local_def_rows: list[tuple[str, str, str, int]],
+    incorp_def_rows: list[tuple[str, str, str, int]],
+    max_depth: int = 10,
+) -> pd.DataFrame:
+    """Pure-Python twin of ``operators.defscope.applicable_definitions``
+    (reference fetch_definitions, pydanticModels.py:654-757): closest scope
+    wins per term; at equal depth incorporated overwrites local and a later
+    turn overwrites an earlier one (the reference's dict-merge order)."""
+    # per-scope dictionary: last writer wins per (scope, term)
+    local_dict: dict[tuple[str, str], tuple[int, str]] = {}
+    for scope, term, definition, tix in local_def_rows:
+        cand = (tix, definition if definition is not None else "")
+        key = (scope, term)
+        if key not in local_dict or cand > local_dict[key]:
+            local_dict[key] = cand
+    # scope → list of (prio, tix, definition, hub, src) entries per term
+    entries: dict[str, list[tuple[str, int, int, str | None, str | None, str]]] = (
+        defaultdict(list)
+    )
+    for (scope, term), (tix, definition) in local_dict.items():
+        entries[scope].append((term, 0, tix, definition, None, "local"))
+    for scope, term, hub, tix in incorp_def_rows:
+        hd = local_dict.get((hub, term))
+        entries[scope].append(
+            (term, 1, tix, hd[1] if hd else None, hub, "incorporated")
+        )
+    rows = []
+    for node_id in sorted(set(node_ids)):
+        parts = node_id.split("/")
+        lo = max(1, len(parts) - (max_depth - 1))
+        best: dict[str, tuple] = {}
+        for depth in range(lo, len(parts) + 1):
+            scope = "/".join(parts[:depth])
+            for term, prio, tix, definition, hub, src in entries.get(scope, []):
+                resolved = 1 if definition is not None else 0
+                key = (resolved, depth, prio, tix, definition or "", hub or "")
+                if term not in best or key > best[term][0]:
+                    best[term] = (key, definition, scope, src, hub, depth)
+        for term, (_, definition, scope, src, hub, depth) in best.items():
+            rows.append(
+                {
+                    "node_id": node_id,
+                    "term": term,
+                    "definition": definition,
+                    "def_scope": scope,
+                    "src": src,
+                    "hub": hub,
+                    "depth": depth,
+                }
+            )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "node_id", "term", "definition", "def_scope", "src", "hub", "depth",
+        ],
+    )
 
 
 def connected_components(edges: pd.DataFrame) -> dict[str, str]:

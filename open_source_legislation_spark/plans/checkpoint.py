@@ -33,6 +33,7 @@ from ..plans.pipeline import run_pipeline
 
 MANIFEST_DIR = "_manifest"
 METRICS_DIR = "_metrics"
+INPUT_DIR = "_input"
 
 
 def bucket_col(conv_id_col, num_buckets: int):
@@ -142,11 +143,38 @@ class CheckpointedRunner:
                     total += pq.read_metadata(os.path.join(root, fn)).num_rows
         return total
 
-    def _run_bucket(self, bucketed: DataFrame, entity_dict: DataFrame, b: int) -> BucketStats:
+    # -- bucketed input materialization -----------------------------------
+    def _input_path(self) -> str:
+        return os.path.join(self.out_dir, INPUT_DIR)
+
+    def _materialize_input(self, transcripts: DataFrame) -> None:
+        """Write the input ONCE, hash-partitioned into per-bucket
+        directories, so each bucket run reads exactly its own partition
+        instead of filter-scanning the full input B times (round-2 verdict
+        #8). On a real deployment this is the transcripts table's Iceberg
+        ``bucket(B, conv_id)`` partition spec (SCALE.md) and costs nothing
+        per run; here one ``repartition(B, _bucket)`` write stands in.
+        A completed write (Spark's ``_SUCCESS`` marker) is REUSED on
+        resume — the bucketing is deterministic, so a killed run's buckets
+        and a resumed run's buckets align by construction."""
+        path = self._input_path()
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return
+        bucketed = transcripts.withColumn(
+            "_bucket", bucket_col(F.col("conv_id"), self.num_buckets)
+        )
+        (
+            bucketed.repartition(self.num_buckets, F.col("_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(path)
+        )
+
+    def _run_bucket(self, entity_dict: DataFrame, b: int) -> BucketStats:
         """One bucket end-to-end. rows_out comes from the committed parquet
         footers (no re-read scan); mention stats are ONE aggregate over the
-        cached derived frame; rows_in is a column-pruned count on the
-        input slice (metadata-fast on real parquet/Iceberg storage)."""
+        cached derived frame; rows_in comes from the bucket partition's own
+        footers (metadata-only, zero Spark jobs)."""
         t0 = time.time()
         # per-bucket scheduler pool: with FAIR mode, concurrent bucket jobs
         # share executors instead of queueing behind each other. Thread-local
@@ -158,8 +186,18 @@ class CheckpointedRunner:
             self.spark.sparkContext.setLocalProperty(
                 "spark.scheduler.pool", f"bucket-{b}"
             )
-        part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
-        rows_in = part.select("conv_id").count()
+        part_path = os.path.join(self._input_path(), f"_bucket={b}")
+        if not os.path.exists(part_path):
+            # hash bucket with no conversations: commit an empty success
+            # row so resume skips it
+            return BucketStats(
+                partition_id=b, rows_in=0, rows_out=0, mentions=0,
+                mentions_linked=0, wall_ms=(time.time() - t0) * 1000.0,
+            )
+        # directory-level pruning: only this bucket's files are ever opened
+        # (the analog of Iceberg partition pruning on bucket(B, conv_id))
+        part = self.spark.read.parquet(part_path)
+        rows_in = self._parquet_rows(part_path)
         res = run_pipeline(self.spark, part, entity_dict)
         tri_path = os.path.join(self.out_dir, "triples", f"bucket={b}")
         nodes_path = os.path.join(self.out_dir, "nodes", f"bucket={b}")
@@ -200,9 +238,7 @@ class CheckpointedRunner:
         from concurrent.futures import ThreadPoolExecutor
 
         done = self.completed_buckets()
-        bucketed = transcripts.withColumn(
-            "_bucket", bucket_col(F.col("conv_id"), self.num_buckets)
-        )
+        self._materialize_input(transcripts)
         todo = [b for b in range(self.num_buckets) if b not in done]
         if fail_after is not None:
             max_concurrency = 1
@@ -212,7 +248,7 @@ class CheckpointedRunner:
 
         def one(b: int) -> None:
             nonlocal processed
-            stats = self._run_bucket(bucketed, entity_dict, b)
+            stats = self._run_bucket(entity_dict, b)
             with lock:
                 self._commit(stats)
                 processed += 1

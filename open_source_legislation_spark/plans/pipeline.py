@@ -21,7 +21,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import rules
-from ..operators import canonicalize, enrich, extract, graph, linking, reassembly
+from ..operators import (
+    canonicalize,
+    defscope,
+    enrich,
+    extract,
+    graph,
+    linking,
+    reassembly,
+)
 
 
 @dataclass
@@ -32,6 +40,7 @@ class PipelineResult:
     definitions: DataFrame
     triples: DataFrame
     edges: DataFrame
+    applicable_defs: DataFrame | None = None
     rewritten: DataFrame | None = None
     spill_dir: str | None = None
     metrics: dict[str, float] = field(default_factory=dict)
@@ -304,6 +313,24 @@ def run_pipeline(
     linked_incorp = link_incorporated(defs, entity_dict)
     rewritten = _rewritten_turns(derived, linked)
 
+    # phase-3 relationship columns onto the nodes rows (reference writes
+    # node_direct_children / node_siblings / node_incoming_references in
+    # the post-scrape update, CLAUDE.md:171-174, scrapeMI.py:85-88) —
+    # node_id-keyed joins over the nodes frame (≪ turns; AQE picks the
+    # join strategy)
+    cites = graph.cites_edges(linked)
+    nodes = (
+        nodes.join(graph.children_agg(nodes), "node_id", "left")
+        .join(graph.siblings_agg(nodes), "node_id", "left")
+        .join(graph.incoming_references(cites), "node_id", "left")
+    )
+
+    # definition-scope closure (reference fetch_definitions ancestor walk,
+    # pydanticModels.py:654-757): node → the terms that apply to it
+    applicable_defs = defscope.applicable_definitions(
+        nodes, defs, incorporated=linked_incorp
+    )
+
     addendum_triples = addenda.select(
         F.col("current_node").alias("subj"),
         F.lit("addendum").alias("pred"),
@@ -334,6 +361,7 @@ def run_pipeline(
         definitions=defs,
         triples=triples,
         edges=edges,
+        applicable_defs=applicable_defs,
         rewritten=rewritten,
         spill_dir=spill_dir,
     )

@@ -17,7 +17,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import canonicalize, dedup, multimodal, similarity, text_analysis
+from .operators import (
+    canonicalize,
+    dedup,
+    defscope,
+    multimodal,
+    similarity,
+    text_analysis,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1031,6 +1038,53 @@ def q_prj_citation_node(spark, sf_dir):
     return li.select(node_id.alias("node_id"), citation.alias("citation")).distinct()
 
 
+def q_join_defs_closure(spark, sf_dir):
+    """Definition-scope closure through the REAL pipeline operator
+    (defscope.applicable_definitions — reference fetch_definitions ancestor
+    walk, pydanticModels.py:654-757): nodes minted from lineitem keys,
+    order-level definitions on every 10th order, line-level overrides on
+    odd lines; the closest scope must win per term. Plan: bounded prefix
+    explode + broadcast dictionary join + one argmax exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    nodes = li.select(
+        F.concat(
+            F.lit("order="),
+            F.col("l_orderkey").cast("string"),
+            F.lit("/line="),
+            F.col("l_linenumber").cast("string"),
+        ).alias("node_id")
+    )
+    defs_order = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.concat(F.lit("order="), F.col("o_orderkey").cast("string")).alias(
+                "current_node"
+            ),
+            F.lit("status").alias("term"),
+            F.col("o_orderstatus").alias("definition"),
+            F.lit("quoted").alias("kind"),
+            F.lit(0).alias("turn_idx"),
+        )
+    )
+    defs_line = li.filter(F.col("l_linenumber") % 2 == 1).select(
+        F.concat(
+            F.lit("order="),
+            F.col("l_orderkey").cast("string"),
+            F.lit("/line="),
+            F.col("l_linenumber").cast("string"),
+        ).alias("current_node"),
+        F.lit("status").alias("term"),
+        F.col("l_linestatus").alias("definition"),
+        F.lit("quoted").alias("kind"),
+        F.lit(0).alias("turn_idx"),
+    )
+    out = defscope.applicable_definitions(
+        nodes, defs_order.unionByName(defs_line)
+    )
+    return out.select("node_id", "term", "definition", "def_scope")
+
+
 # Queries with NO SQL oracle by design (the driver records a rows-only
 # check): genuinely non-SQL-expressible ops. Everything else MUST have an
 # ORACLE_SQL entry — pinned by tests/test_contract_registry.py.
@@ -1063,6 +1117,7 @@ NEVER_DRIVER_VERIFIED: list[str] = [
     "agg_grouping_sets",
     "agg_node_text",  # new in r3 (per-node document text shape)
     "prj_citation_node",  # new in r3 (citation-from-id-path shape)
+    "join_defs_closure",  # new in r3 (defscope.applicable_definitions)
 ]
 
 # Dict ORDER is part of the driver contract: the driver's correctness gate
@@ -1094,6 +1149,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_grouping_sets": q_agg_grouping_sets,
     "agg_node_text": q_agg_node_text,
     "prj_citation_node": q_prj_citation_node,
+    "join_defs_closure": q_join_defs_closure,
     # -- keepers: green in r2, stay inside the 50-slot window --------------
     "join_incoming_refs": q_join_incoming_refs,
     "agg_siblings": q_agg_siblings,
@@ -1845,5 +1901,31 @@ ORACLE_SQL: dict[str, str] = {
                'Tit. ' || CAST(l_orderkey % 5 + 1 AS VARCHAR)
                  || ', § ' || CAST(l_linenumber AS VARCHAR) AS citation
         FROM lineitem
+    """,
+    "join_defs_closure": """
+        -- the synthetic lineitem is NOT (orderkey, linenumber)-unique:
+        -- mirror the operator's per-scope dict last-writer-wins (equal
+        -- turn_idx -> max definition text) with grouped max() on both
+        -- definition sources and DISTINCT node ids
+        WITH n AS (SELECT DISTINCT l_orderkey AS k, l_linenumber AS ln
+                   FROM lineitem),
+        ld AS (SELECT l_orderkey AS k, l_linenumber AS ln,
+                      max(l_linestatus) AS d
+               FROM lineitem WHERE l_linenumber % 2 = 1 GROUP BY 1, 2),
+        od AS (SELECT o_orderkey AS k, max(o_orderstatus) AS d
+               FROM orders WHERE o_orderkey % 10 = 0 GROUP BY 1)
+        SELECT concat('order=', CAST(n.k AS VARCHAR), '/line=',
+                      CAST(n.ln AS VARCHAR)) AS node_id,
+               'status' AS term,
+               COALESCE(ld.d, od.d) AS definition,
+               CASE WHEN ld.d IS NOT NULL
+                    THEN concat('order=', CAST(n.k AS VARCHAR), '/line=',
+                                CAST(n.ln AS VARCHAR))
+                    ELSE concat('order=', CAST(n.k AS VARCHAR)) END
+                 AS def_scope
+        FROM n
+        LEFT JOIN ld ON n.k = ld.k AND n.ln = ld.ln
+        LEFT JOIN od ON n.k = od.k
+        WHERE ld.d IS NOT NULL OR od.d IS NOT NULL
     """,
 }
