@@ -58,6 +58,27 @@ def run_kg_pipeline(spark, transcripts_path: str) -> tuple[float, int]:
     return wall, n_triples
 
 
+def run_kg_nodes(spark, transcripts_path: str) -> float:
+    """Materialize the FULL enriched nodes output (per-node document text,
+    citation, token/embedding columns, children/siblings/incoming refs) —
+    kept separate from the triples headline so kg_pipeline stays comparable
+    with r1/r2; this times the round-3 rel_src plan fix."""
+    from open_source_legislation_spark import schemas, synth
+    from open_source_legislation_spark.plans.pipeline import run_pipeline
+    from open_source_legislation_spark.sources.io import read_transcripts
+
+    entity_dict = spark.createDataFrame(
+        synth.make_entity_dictionary(), schema=schemas.ENTITY_DICTIONARY
+    )
+    transcripts = read_transcripts(spark, transcripts_path)
+    t0 = time.time()
+    res = run_pipeline(spark, transcripts, entity_dict, num_partitions=None)
+    res.nodes.write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+    res.cleanup()
+    return wall
+
+
 HEADLINE_CONTRACT = [
     "agg_count_by_level",
     "join_entity_link",
@@ -94,6 +115,7 @@ def main() -> None:
     kg_wall2, _ = run_kg_pipeline(spark, transcripts_path)
     kg_wall = min(kg_wall, kg_wall2)
     timings["kg_pipeline"] = round(kg_wall, 3)
+    timings["kg_nodes_full"] = round(run_kg_nodes(spark, transcripts_path), 3)
 
     for name in HEADLINE_CONTRACT:
         fn = QUERIES[name]

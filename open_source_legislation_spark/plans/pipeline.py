@@ -286,8 +286,15 @@ def run_pipeline(
     # node text (falling back to the marker heading for childless nodes)
     node_texts = extract.node_text_agg(derived, addenda=addenda)
     full_text = F.coalesce(F.col("node_text"), F.col("text"))
+    # cheap projection of the node rows: everything keyed off hierarchy
+    # shape (children/siblings/edges) reads THIS, not the enriched frame —
+    # otherwise each relationship join would re-evaluate the node_text /
+    # embedding subtree (measured: the nodes write goes from minutes to
+    # seconds at 500k turns)
+    base_nodes = extract.nodes_table(derived)
+    rel_src = base_nodes.select("node_id", "parent", "turn_idx")
     nodes = (
-        extract.nodes_table(derived)
+        base_nodes
         .join(
             F.broadcast(addenda.select(
                 F.col("current_node").alias("node_id"), "node_addendum"
@@ -305,7 +312,10 @@ def run_pipeline(
         )
         .withColumn(
             "embedding",
-            enrich.hash_embed_expr(F.coalesce(full_text, F.lit("")), dim=16),
+            # Arrow-batched UDF, NOT hash_embed_expr: the interpreted HOF
+            # re-evaluates its md5 subtree per output dim — 20x slower on
+            # full node texts (see enrich.hash_embed_udf docstring)
+            enrich.hash_embed_udf(dim=16)(F.coalesce(full_text, F.lit(""))),
         )
     )
 
@@ -320,15 +330,15 @@ def run_pipeline(
     # join strategy)
     cites = graph.cites_edges(linked)
     nodes = (
-        nodes.join(graph.children_agg(nodes), "node_id", "left")
-        .join(graph.siblings_agg(nodes), "node_id", "left")
+        nodes.join(graph.children_agg(rel_src), "node_id", "left")
+        .join(graph.siblings_agg(rel_src), "node_id", "left")
         .join(graph.incoming_references(cites), "node_id", "left")
     )
 
     # definition-scope closure (reference fetch_definitions ancestor walk,
     # pydanticModels.py:654-757): node → the terms that apply to it
     applicable_defs = defscope.applicable_definitions(
-        nodes, defs, incorporated=linked_incorp
+        rel_src, defs, incorporated=linked_incorp
     )
 
     addendum_triples = addenda.select(
@@ -346,7 +356,7 @@ def run_pipeline(
         .unionByName(addendum_triples)
     )
 
-    edges = graph.hierarchy_edges(nodes).unionByName(graph.cites_edges(linked))
+    edges = graph.hierarchy_edges(rel_src).unionByName(cites)
 
     if alias_edges is not None:
         labels = canonicalize.connected_components(alias_edges)
