@@ -15,7 +15,7 @@ stages plus the small linking/CC shuffles.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,18 +32,61 @@ from ..operators import (
 )
 
 
-@dataclass
 class PipelineResult:
-    turns: DataFrame
-    nodes: DataFrame
-    mentions: DataFrame
-    definitions: DataFrame
-    triples: DataFrame
-    edges: DataFrame
-    applicable_defs: DataFrame | None = None
-    rewritten: DataFrame | None = None
-    spill_dir: str | None = None
-    metrics: dict[str, float] = field(default_factory=dict)
+    """Pipeline outputs. ``triples``/``mentions``/``definitions``/``turns``
+    are built eagerly; the auxiliary plans (``nodes`` enrichment +
+    relationship joins, ``edges``, ``applicable_defs``, ``rewritten``) are
+    built lazily on first attribute access — their driver-side plan
+    construction costs ~1.2 s of Py4J round-trips (measured at 500k turns),
+    which a triples-only consumer (the bench headline, the streaming
+    incremental loop) should not pay. Lazy construction changes WHEN the
+    logical plan is built, never what it computes."""
+
+    def __init__(
+        self,
+        *,
+        turns: DataFrame,
+        mentions: DataFrame,
+        definitions: DataFrame,
+        triples: DataFrame,
+        nodes_fn: Callable[[], DataFrame],
+        edges_fn: Callable[[], DataFrame],
+        applicable_defs_fn: Callable[[], DataFrame],
+        rewritten_fn: Callable[[], DataFrame],
+        spill_dir: str | None = None,
+    ) -> None:
+        self.turns = turns
+        self.mentions = mentions
+        self.definitions = definitions
+        self.triples = triples
+        self._nodes_fn = nodes_fn
+        self._edges_fn = edges_fn
+        self._applicable_defs_fn = applicable_defs_fn
+        self._rewritten_fn = rewritten_fn
+        self._cache: dict[str, DataFrame] = {}
+        self.spill_dir = spill_dir
+        self.metrics: dict[str, float] = {}
+
+    def _lazy(self, key: str, fn: Callable[[], DataFrame]) -> DataFrame:
+        if key not in self._cache:
+            self._cache[key] = fn()
+        return self._cache[key]
+
+    @property
+    def nodes(self) -> DataFrame:
+        return self._lazy("nodes", self._nodes_fn)
+
+    @property
+    def edges(self) -> DataFrame:
+        return self._lazy("edges", self._edges_fn)
+
+    @property
+    def applicable_defs(self) -> DataFrame:
+        return self._lazy("applicable_defs", self._applicable_defs_fn)
+
+    @property
+    def rewritten(self) -> DataFrame:
+        return self._lazy("rewritten", self._rewritten_fn)
 
     def cleanup(self) -> None:
         """Release the derived-frame materialization: unpersist (persist
@@ -277,69 +320,8 @@ def run_pipeline(
     defs = extract.extract_definitions(derived)
     addenda = _addenda(derived)
 
-    # nodes enriched with the reference's per-node payloads: addendum
-    # (broadcast join — addenda ≪ nodes), the full per-node document text
-    # (NodeText.to_list_text, pydanticModels.py:290-296 — ordered content
-    # turns under the node, addendum peeled), BPE-ish token count
-    # (scrapeECFR.py:359-360,1003-1007) and the phase-3 hash embedding
-    # (3_process.py:18-36) — token/embedding expressions run over the FULL
-    # node text (falling back to the marker heading for childless nodes)
-    node_texts = extract.node_text_agg(derived, addenda=addenda)
-    full_text = F.coalesce(F.col("node_text"), F.col("text"))
-    # cheap projection of the node rows: everything keyed off hierarchy
-    # shape (children/siblings/edges) reads THIS, not the enriched frame —
-    # otherwise each relationship join would re-evaluate the node_text /
-    # embedding subtree (measured: the nodes write goes from minutes to
-    # seconds at 500k turns)
-    base_nodes = extract.nodes_table(derived)
-    rel_src = base_nodes.select("node_id", "parent", "turn_idx")
-    nodes = (
-        base_nodes
-        .join(
-            F.broadcast(addenda.select(
-                F.col("current_node").alias("node_id"), "node_addendum"
-            )),
-            "node_id",
-            "left",
-        )
-        .join(node_texts, "node_id", "left")
-        .withColumn(
-            "n_tokens",
-            F.when(
-                full_text.isNotNull(),
-                F.size(F.split(F.trim(F.lower(full_text)), r"\s+")),
-            ),
-        )
-        .withColumn(
-            "embedding",
-            # Arrow-batched UDF, NOT hash_embed_expr: the interpreted HOF
-            # re-evaluates its md5 subtree per output dim — 20x slower on
-            # full node texts (see enrich.hash_embed_udf docstring)
-            enrich.hash_embed_udf(dim=16)(F.coalesce(full_text, F.lit(""))),
-        )
-    )
-
     linked = linking.link_mentions(mentions, entity_dict)
     linked_incorp = link_incorporated(defs, entity_dict)
-    rewritten = _rewritten_turns(derived, linked)
-
-    # phase-3 relationship columns onto the nodes rows (reference writes
-    # node_direct_children / node_siblings / node_incoming_references in
-    # the post-scrape update, CLAUDE.md:171-174, scrapeMI.py:85-88) —
-    # node_id-keyed joins over the nodes frame (≪ turns; AQE picks the
-    # join strategy)
-    cites = graph.cites_edges(linked)
-    nodes = (
-        nodes.join(graph.children_agg(rel_src), "node_id", "left")
-        .join(graph.siblings_agg(rel_src), "node_id", "left")
-        .join(graph.incoming_references(cites), "node_id", "left")
-    )
-
-    # definition-scope closure (reference fetch_definitions ancestor walk,
-    # pydanticModels.py:654-757): node → the terms that apply to it
-    applicable_defs = defscope.applicable_definitions(
-        rel_src, defs, incorporated=linked_incorp
-    )
 
     addendum_triples = addenda.select(
         F.col("current_node").alias("subj"),
@@ -356,22 +338,98 @@ def run_pipeline(
         .unionByName(addendum_triples)
     )
 
-    edges = graph.hierarchy_edges(rel_src).unionByName(cites)
-
     if alias_edges is not None:
         labels = canonicalize.connected_components(alias_edges)
         triples = triples.unionByName(canonicalize.alias_of_triples(labels))
         if canonicalize_triples:
             triples = canonicalize.rewrite_to_canonical(triples, labels)
 
+    # ---- lazy auxiliary plans (built on first PipelineResult access) ----
+    # shared intermediates, memoized so nodes/edges/applicable_defs agree
+    shared: dict[str, DataFrame] = {}
+
+    def _rel_src() -> DataFrame:
+        # cheap projection of the node rows: everything keyed off hierarchy
+        # shape (children/siblings/edges/defscope) reads THIS, not the
+        # enriched frame — otherwise each relationship join would
+        # re-evaluate the node_text / embedding subtree (measured: the
+        # nodes write goes from minutes to seconds at 500k turns)
+        if "rel_src" not in shared:
+            shared["rel_src"] = extract.nodes_table(derived).select(
+                "node_id", "parent", "turn_idx"
+            )
+        return shared["rel_src"]
+
+    def _cites() -> DataFrame:
+        if "cites" not in shared:
+            shared["cites"] = graph.cites_edges(linked)
+        return shared["cites"]
+
+    def _nodes() -> DataFrame:
+        # nodes enriched with the reference's per-node payloads: addendum
+        # (broadcast join — addenda ≪ nodes), the full per-node document
+        # text (NodeText.to_list_text, pydanticModels.py:290-296 — ordered
+        # content turns under the node, addendum peeled), BPE-ish token
+        # count (scrapeECFR.py:359-360,1003-1007) and the phase-3 hash
+        # embedding (3_process.py:18-36) — token/embedding expressions run
+        # over the FULL node text (falling back to the marker heading for
+        # childless nodes)
+        node_texts = extract.node_text_agg(derived, addenda=addenda)
+        full_text = F.coalesce(F.col("node_text"), F.col("text"))
+        nodes = (
+            extract.nodes_table(derived)
+            .join(
+                F.broadcast(addenda.select(
+                    F.col("current_node").alias("node_id"), "node_addendum"
+                )),
+                "node_id",
+                "left",
+            )
+            .join(node_texts, "node_id", "left")
+            .withColumn(
+                "n_tokens",
+                F.when(
+                    full_text.isNotNull(),
+                    F.size(F.split(F.trim(F.lower(full_text)), r"\s+")),
+                ),
+            )
+            .withColumn(
+                "embedding",
+                # Arrow-batched UDF, NOT hash_embed_expr: the interpreted
+                # HOF re-evaluates its md5 subtree per output dim — 20x
+                # slower on full node texts (enrich.hash_embed_udf docstring)
+                enrich.hash_embed_udf(dim=16)(F.coalesce(full_text, F.lit(""))),
+            )
+        )
+        # phase-3 relationship columns onto the nodes rows (reference
+        # writes node_direct_children / node_siblings /
+        # node_incoming_references in the post-scrape update,
+        # CLAUDE.md:171-174, scrapeMI.py:85-88) — node_id-keyed joins over
+        # the nodes frame (≪ turns; AQE picks the join strategy)
+        return (
+            nodes.join(graph.children_agg(_rel_src()), "node_id", "left")
+            .join(graph.siblings_agg(_rel_src()), "node_id", "left")
+            .join(graph.incoming_references(_cites()), "node_id", "left")
+        )
+
+    def _edges() -> DataFrame:
+        return graph.hierarchy_edges(_rel_src()).unionByName(_cites())
+
+    def _applicable_defs() -> DataFrame:
+        # definition-scope closure (reference fetch_definitions ancestor
+        # walk, pydanticModels.py:654-757): node → the terms that apply
+        return defscope.applicable_definitions(
+            _rel_src(), defs, incorporated=linked_incorp
+        )
+
     return PipelineResult(
         turns=derived,
-        nodes=nodes,
         mentions=linked,
         definitions=defs,
         triples=triples,
-        edges=edges,
-        applicable_defs=applicable_defs,
-        rewritten=rewritten,
+        nodes_fn=_nodes,
+        edges_fn=_edges,
+        applicable_defs_fn=_applicable_defs,
+        rewritten_fn=lambda: _rewritten_turns(derived, linked),
         spill_dir=spill_dir,
     )
