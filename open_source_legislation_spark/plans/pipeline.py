@@ -387,19 +387,18 @@ def run_pipeline(
             )
             .join(node_texts, "node_id", "left")
             .withColumn(
-                "n_tokens",
-                F.when(
-                    full_text.isNotNull(),
-                    F.size(F.split(F.trim(F.lower(full_text)), r"\s+")),
-                ),
+                # ONE fused Arrow pass over the long full-text column for
+                # BOTH n_tokens and the embedding — NOT hash_embed_expr
+                # (the interpreted HOF re-evaluates its md5 subtree per
+                # output dim, 20x slower) and not a separate JVM
+                # split-to-array count (ships/allocates the text twice);
+                # see enrich.node_enrich_udf docstring
+                "_enr",
+                enrich.node_enrich_udf(dim=16)(full_text),
             )
-            .withColumn(
-                "embedding",
-                # Arrow-batched UDF, NOT hash_embed_expr: the interpreted
-                # HOF re-evaluates its md5 subtree per output dim — 20x
-                # slower on full node texts (enrich.hash_embed_udf docstring)
-                enrich.hash_embed_udf(dim=16)(F.coalesce(full_text, F.lit(""))),
-            )
+            .withColumn("n_tokens", F.col("_enr.n_tokens"))
+            .withColumn("embedding", F.col("_enr.embedding"))
+            .drop("_enr")
         )
         # phase-3 relationship columns onto the nodes rows (reference
         # writes node_direct_children / node_siblings /

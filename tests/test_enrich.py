@@ -60,6 +60,34 @@ def test_expr_and_mapinpandas_variants_agree(docs):
     assert a == b
 
 
+def test_fused_node_enrich_matches_unfused(spark):
+    """node_enrich_udf must equal the unfused pair it replaced in the
+    pipeline: n_tokens = size(split(trim(lower(t)), '\\s+')) under the
+    isNotNull guard, embedding = hash_embed_udf(coalesce(t, ''))."""
+    rows = [
+        (0, "the quick brown fox"),
+        (1, ""),                      # JVM split('') -> [''] i.e. 1 token
+        (2, None),                    # NULL text -> NULL count, zero vec
+        (3, "  padded  spaces  "),
+        (4, "line\nbreaks\tand tabs"),
+        (5, "the the the"),
+    ]
+    df = spark.createDataFrame(rows, schema="id long, t string")
+    unfused = df.select(
+        "id",
+        F.when(
+            F.col("t").isNotNull(),
+            F.size(F.split(F.trim(F.lower("t")), r"\s+")),
+        ).alias("n_tokens"),
+        enrich.hash_embed_udf(dim=16)(F.coalesce("t", F.lit(""))).alias("emb"),
+    )
+    fused = df.select("id", enrich.node_enrich_udf(dim=16)(F.col("t")).alias("e"))
+    a = {r["id"]: (r["n_tokens"], tuple(r["emb"])) for r in unfused.collect()}
+    b = {r["id"]: (r["e"]["n_tokens"], tuple(r["e"]["embedding"]))
+         for r in fused.collect()}
+    assert a == b
+
+
 def test_deterministic_across_runs(docs):
     a = {r["doc_id"]: tuple(r["embedding"])
          for r in enrich.embed_pending(docs, dim=8).collect()}
