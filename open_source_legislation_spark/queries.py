@@ -984,6 +984,41 @@ def q_snk_parquet_roundtrip(spark, sf_dir):
     )
 
 
+def q_snk_upsert_merge(spark, sf_dir):
+    """SURVEY §2.1 snk_update/snk_upsert — keyed MERGE sink (reference
+    pydantic_upsert try-insert-on-conflict-update, utilityFunctions.py:
+    582-612): seed a table from customer, upsert a modified subset through
+    ``sources.io.upsert_table`` (anti-join + union — the parquet stand-in
+    for Iceberg MERGE INTO), re-scan the committed files and aggregate.
+    Balance sums are emitted as integer cents (decimal sum, then bigint) so
+    the hashed payload survives any float normalization."""
+    import tempfile
+
+    from .sources import io as osl_io
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="oslspark_upsert_")
+    osl_io.write_table(base, out_dir, "cust")
+    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("UPDATED").alias("seg"),
+        (F.col("c_acctbal") + 100).alias("bal"),
+    )
+    osl_io.upsert_table(spark, updates, out_dir, "cust", key="c_custkey")
+    merged = spark.read.parquet(f"{out_dir}/cust")
+    return merged.groupBy("seg").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(F.col("bal").cast("decimal(18,6)")) * 100, 0)
+        .cast("bigint")
+        .alias("bal_cents"),
+    )
+
+
 def q_agg_node_text(spark, sf_dir):
     """Per-node document-text aggregate (reference NodeText.to_list_text,
     pydanticModels.py:290-296; pipeline op extract.node_text_agg): a running
@@ -1109,6 +1144,7 @@ NEVER_DRIVER_VERIFIED: list[str] = [
     "window_lead",
     "agg_total_rows",
     "snk_parquet_roundtrip",
+    "snk_upsert_merge",  # new in r3 (keyed MERGE sink)
     "src_toc_file",
     "stream_sessionize",
     "sim_ivf_build",
@@ -1141,6 +1177,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_lead": q_window_lead,
     "agg_total_rows": q_agg_total_rows,
     "snk_parquet_roundtrip": q_snk_parquet_roundtrip,
+    "snk_upsert_merge": q_snk_upsert_merge,
     "src_toc_file": q_src_toc_file,
     "stream_sessionize": q_stream_sessionize,
     "sim_ivf_build": q_sim_ivf_build,
@@ -1875,6 +1912,23 @@ ORACLE_SQL: dict[str, str] = {
         SELECT r_name, count(*) AS n_nations
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
+    """,
+    "snk_upsert_merge": """
+        WITH updates AS (
+          SELECT c_custkey, 'UPDATED' AS seg, c_acctbal + 100 AS bal
+          FROM customer WHERE c_custkey % 10 = 0
+        ),
+        merged AS (
+          SELECT c_custkey, c_mktsegment AS seg, c_acctbal AS bal
+          FROM customer
+          WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+          UNION ALL
+          SELECT * FROM updates
+        )
+        SELECT seg, count(*) AS n_rows,
+               CAST(round(sum(CAST(bal AS DECIMAL(18,6))) * 100, 0) AS BIGINT)
+                 AS bal_cents
+        FROM merged GROUP BY seg
     """,
     "agg_node_text": """
         WITH scoped AS (
