@@ -414,6 +414,19 @@ def turn_payload_udf(texts: pd.Series) -> pd.DataFrame:
     )
 
 
+def _ffill_object(a: "np.ndarray") -> "np.ndarray":
+    """Forward-fill None slots of an object ndarray (leading Nones stay
+    None) — the pandas ``Series.ffill`` it replaces silently downcasts
+    object→bool (deprecated FutureWarning on every batch) and costs a
+    Series round-trip per call."""
+    import numpy as np
+
+    mask = a != None  # noqa: E711 — elementwise on object dtype
+    idx = np.where(mask, np.arange(len(a)), 0)
+    np.maximum.accumulate(idx, out=idx)
+    return a[idx]
+
+
 def derive_nodes_stream(
     transcripts: DataFrame, num_partitions: int | None = None
 ) -> DataFrame:
@@ -554,10 +567,8 @@ def derive_nodes_stream(
                     current[0] = carry_current
                 if defs_v[0] is None:
                     defs_v[0] = carry_defs
-            current = pd.Series(current, dtype=object).ffill().to_numpy(dtype=object)
-            defs_filled = (
-                pd.Series(defs_v, dtype=object).ffill().to_numpy(dtype=object)
-            )
+            current = _ffill_object(current)
+            defs_filled = _ffill_object(defs_v)
 
             carry_conv = conv[-1]
             carry_turn = turn[-1]
