@@ -984,6 +984,50 @@ def q_snk_parquet_roundtrip(spark, sf_dir):
     )
 
 
+def q_src_xml_parse(spark, sf_dir):
+    """SURVEY §2.1 src_xml — XML source parsing (reference reads USC titles
+    from ``usc{NN}.xml`` with bs4, scrapeUSC.py:38-42). Spark-first: the
+    landed XML strings are parsed with the JVM ``xpath``/``xpath_string``
+    expression family — no Python worker, whole-stage-codegen friendly,
+    and the parse runs distributed per row. The query builds one XML
+    document per region from nation rows (element text + an attribute),
+    then round-trips the fields back out through xpath; the oracle is the
+    pre-serialization relation, so any parse infidelity breaks the hash."""
+    n = _t(spark, sf_dir, "nation")
+    docs = n.groupBy("n_regionkey").agg(
+        F.concat(
+            F.lit("<r>"),
+            F.concat_ws(
+                "",
+                F.array_sort(
+                    F.collect_list(
+                        F.concat(
+                            F.lit('<n k="'),
+                            F.col("n_nationkey").cast("string"),
+                            F.lit('">'),
+                            F.col("n_name"),
+                            F.lit("</n>"),
+                        )
+                    )
+                ),
+            ),
+            F.lit("</r>"),
+        ).alias("xml")
+    )
+    parsed = docs.select(
+        F.col("n_regionkey").cast("bigint").alias("regionkey"),
+        F.expr("xpath(xml, '/r/n/text()')").alias("names"),
+        F.expr("xpath(xml, '/r/n/@k')").alias("keys"),
+    )
+    return parsed.select(
+        "regionkey", F.explode(F.arrays_zip("names", "keys")).alias("z")
+    ).select(
+        "regionkey",
+        F.col("z.names").alias("n_name"),
+        F.col("z.keys").cast("bigint").alias("n_nationkey"),
+    )
+
+
 def q_snk_upsert_merge(spark, sf_dir):
     """SURVEY §2.1 snk_update/snk_upsert — keyed MERGE sink (reference
     pydantic_upsert try-insert-on-conflict-update, utilityFunctions.py:
@@ -1145,6 +1189,7 @@ NEVER_DRIVER_VERIFIED: list[str] = [
     "agg_total_rows",
     "snk_parquet_roundtrip",
     "snk_upsert_merge",  # new in r3 (keyed MERGE sink)
+    "src_xml_parse",  # new in r3 (xpath XML source parsing)
     "src_toc_file",
     "stream_sessionize",
     "sim_ivf_build",
@@ -1178,6 +1223,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_total_rows": q_agg_total_rows,
     "snk_parquet_roundtrip": q_snk_parquet_roundtrip,
     "snk_upsert_merge": q_snk_upsert_merge,
+    "src_xml_parse": q_src_xml_parse,
     "src_toc_file": q_src_toc_file,
     "stream_sessionize": q_stream_sessionize,
     "sim_ivf_build": q_sim_ivf_build,
@@ -1912,6 +1958,11 @@ ORACLE_SQL: dict[str, str] = {
         SELECT r_name, count(*) AS n_nations
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
+    """,
+    "src_xml_parse": """
+        SELECT CAST(n_regionkey AS BIGINT) AS regionkey, n_name,
+               CAST(n_nationkey AS BIGINT) AS n_nationkey
+        FROM nation
     """,
     "snk_upsert_merge": """
         WITH updates AS (
