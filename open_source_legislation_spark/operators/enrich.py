@@ -126,7 +126,9 @@ def node_enrich_udf(dim: int = 16):
     import math
     import re
 
-    ws = re.compile(r"\s+")
+    # re.ASCII: Java's \s is [ \t\n\x0B\f\r] only; Python's default \s also
+    # matches Unicode whitespace (\xa0,  , …) and would over-count
+    ws = re.compile(r"\s+", re.ASCII)
     cache: dict[str, int] = {}
 
     def _bucket(tok: str) -> int:

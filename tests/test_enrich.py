@@ -71,6 +71,7 @@ def test_fused_node_enrich_matches_unfused(spark):
         (3, "  padded  spaces  "),
         (4, "line\nbreaks\tand tabs"),
         (5, "the the the"),
+        (6, "nbsp\xa0inside and thin space"),  # Java \s is ASCII-only
     ]
     df = spark.createDataFrame(rows, schema="id long, t string")
     unfused = df.select(
