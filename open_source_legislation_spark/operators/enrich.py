@@ -28,6 +28,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+import re as _re
+
+# Java's \s is ASCII-only ([ \t\n\x0B\f\r]); every Python re-impl of the
+# JVM tokenizer must match it exactly or embeddings diverge on Unicode
+# whitespace (\xa0 etc.)
+_WS_ASCII = _re.compile(r"\s+", _re.ASCII)
+
+
+def _ascii_tokens(t: str | None) -> list[str]:
+    """Tokenization bit-identical to ``split(trim(lower(t)), '\\s+')`` +
+    empty filter in hash_embed_expr."""
+    return [x for x in _WS_ASCII.split((t or "").strip(" ").lower()) if x]
+
+
 def _h64(col):
     # portable: CAST(('0x'||substr(md5(s),1,8)) AS BIGINT) in DuckDB
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
@@ -89,7 +103,7 @@ def hash_embed_udf(dim: int = 16):
 
     def _one(t: str | None) -> list[float]:
         counts = [0] * dim
-        for tok in (t or "").lower().split():
+        for tok in _ascii_tokens(t):
             counts[_bucket(tok)] += 1
         norm = math.sqrt(sum(c * c for c in counts)) or 1.0
         return [math.floor(c / norm * 10000) / 10000 for c in counts]
@@ -140,7 +154,7 @@ def node_enrich_udf(dim: int = 16):
 
     def _one(t: str | None) -> dict:
         counts = [0] * dim
-        for tok in (t or "").lower().split():
+        for tok in _ascii_tokens(t):
             counts[_bucket(tok)] += 1
         norm = math.sqrt(sum(c * c for c in counts)) or 1.0
         emb = [math.floor(c / norm * 10000) / 10000 for c in counts]
@@ -204,7 +218,7 @@ def embed_map_in_pandas(
 
         def one(t: str) -> list[float]:
             counts = [0] * dim
-            for tok in (t or "").lower().strip().split():
+            for tok in _ascii_tokens(t):
                 h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
                 counts[h % dim] += 1
             norm = sum(c * c for c in counts) ** 0.5 or 1.0

@@ -27,6 +27,9 @@ def docs(spark):
         (2, "already embedded row", [1.0, 0.0]),
         (3, "", None),
         (4, "the the the", None),
+        # Unicode whitespace: JVM \s is ASCII-only, so \xa0 must NOT split
+        # tokens in any Python variant either
+        (5, "nb\xa0sp and thin", None),
     ]
     return spark.createDataFrame(rows, schema=SCHEMA)
 
