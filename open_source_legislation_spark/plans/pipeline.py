@@ -33,22 +33,21 @@ from ..operators import (
 
 
 class PipelineResult:
-    """Pipeline outputs. ``triples``/``mentions``/``definitions``/``turns``
-    are built eagerly; the auxiliary plans (``nodes`` enrichment +
-    relationship joins, ``edges``, ``applicable_defs``, ``rewritten``) are
-    built lazily on first attribute access — their driver-side plan
-    construction costs ~1.2 s of Py4J round-trips (measured at 500k turns),
-    which a triples-only consumer (the bench headline, the streaming
-    incremental loop) should not pay. Lazy construction changes WHEN the
-    logical plan is built, never what it computes."""
+    """Pipeline outputs. ``turns`` (the materialized derived frame) is
+    eager; every other output's logical plan is built lazily on first
+    attribute access — plan construction costs ~2 s of driver-side Py4J
+    round-trips at 500k turns, and no consumer touches every output (the
+    bench headline and streaming micro-batches read only ``triples``; the
+    checkpoint runner's nodes write never needs ``rewritten``). Lazy
+    construction changes WHEN a plan is built, never what it computes."""
 
     def __init__(
         self,
         *,
         turns: DataFrame,
-        mentions: DataFrame,
-        definitions: DataFrame,
-        triples: DataFrame,
+        mentions_fn: Callable[[], DataFrame],
+        definitions_fn: Callable[[], DataFrame],
+        triples_fn: Callable[[], DataFrame],
         nodes_fn: Callable[[], DataFrame],
         edges_fn: Callable[[], DataFrame],
         applicable_defs_fn: Callable[[], DataFrame],
@@ -56,37 +55,51 @@ class PipelineResult:
         spill_dir: str | None = None,
     ) -> None:
         self.turns = turns
-        self.mentions = mentions
-        self.definitions = definitions
-        self.triples = triples
-        self._nodes_fn = nodes_fn
-        self._edges_fn = edges_fn
-        self._applicable_defs_fn = applicable_defs_fn
-        self._rewritten_fn = rewritten_fn
+        self._fns = {
+            "mentions": mentions_fn,
+            "definitions": definitions_fn,
+            "triples": triples_fn,
+            "nodes": nodes_fn,
+            "edges": edges_fn,
+            "applicable_defs": applicable_defs_fn,
+            "rewritten": rewritten_fn,
+        }
         self._cache: dict[str, DataFrame] = {}
         self.spill_dir = spill_dir
         self.metrics: dict[str, float] = {}
 
-    def _lazy(self, key: str, fn: Callable[[], DataFrame]) -> DataFrame:
+    def _lazy(self, key: str) -> DataFrame:
         if key not in self._cache:
-            self._cache[key] = fn()
+            self._cache[key] = self._fns[key]()
         return self._cache[key]
 
     @property
+    def mentions(self) -> DataFrame:
+        return self._lazy("mentions")
+
+    @property
+    def definitions(self) -> DataFrame:
+        return self._lazy("definitions")
+
+    @property
+    def triples(self) -> DataFrame:
+        return self._lazy("triples")
+
+    @property
     def nodes(self) -> DataFrame:
-        return self._lazy("nodes", self._nodes_fn)
+        return self._lazy("nodes")
 
     @property
     def edges(self) -> DataFrame:
-        return self._lazy("edges", self._edges_fn)
+        return self._lazy("edges")
 
     @property
     def applicable_defs(self) -> DataFrame:
-        return self._lazy("applicable_defs", self._applicable_defs_fn)
+        return self._lazy("applicable_defs")
 
     @property
     def rewritten(self) -> DataFrame:
-        return self._lazy("rewritten", self._rewritten_fn)
+        return self._lazy("rewritten")
 
     def cleanup(self) -> None:
         """Release the derived-frame materialization: unpersist (persist
@@ -316,37 +329,60 @@ def run_pipeline(
 
         derived = derived.persist(StorageLevel.DISK_ONLY)
 
-    mentions = extract.extract_mentions(derived)
-    defs = extract.extract_definitions(derived)
-    addenda = _addenda(derived)
-
-    linked = linking.link_mentions(mentions, entity_dict)
-    linked_incorp = link_incorporated(defs, entity_dict)
-
-    addendum_triples = addenda.select(
-        F.col("current_node").alias("subj"),
-        F.lit("addendum").alias("pred"),
-        F.col("node_addendum").alias("obj"),
-        "conv_id",
-        "turn_idx",
-    )
-
-    triples = (
-        _node_triples(derived)
-        .unionByName(_mention_triples(linked))
-        .unionByName(_definition_triples(defs, linked_incorp))
-        .unionByName(addendum_triples)
-    )
-
-    if alias_edges is not None:
-        labels = canonicalize.connected_components(alias_edges)
-        triples = triples.unionByName(canonicalize.alias_of_triples(labels))
-        if canonicalize_triples:
-            triples = canonicalize.rewrite_to_canonical(triples, labels)
-
-    # ---- lazy auxiliary plans (built on first PipelineResult access) ----
-    # shared intermediates, memoized so nodes/edges/applicable_defs agree
+    # ---- lazy plans (built on first PipelineResult access) --------------
+    # Every output's logical plan is constructed on demand: driver-side
+    # plan building costs ~2 s of Py4J round-trips at 500k turns, and no
+    # consumer touches every output (the bench headline and streaming
+    # micro-batches read triples only; the checkpoint runner's nodes write
+    # never needs the rewritten-turns plan). Shared intermediates are
+    # memoized so all outputs agree. Lazy construction changes WHEN a plan
+    # is built, never what it computes.
     shared: dict[str, DataFrame] = {}
+
+    def _memo(key: str, fn) -> DataFrame:
+        if key not in shared:
+            shared[key] = fn()
+        return shared[key]
+
+    def _linked() -> DataFrame:
+        return _memo(
+            "linked",
+            lambda: linking.link_mentions(
+                extract.extract_mentions(derived), entity_dict
+            ),
+        )
+
+    def _defs() -> DataFrame:
+        return _memo("defs", lambda: extract.extract_definitions(derived))
+
+    def _linked_incorp() -> DataFrame:
+        return _memo(
+            "linked_incorp", lambda: link_incorporated(_defs(), entity_dict)
+        )
+
+    def _addenda_f() -> DataFrame:
+        return _memo("addenda", lambda: _addenda(derived))
+
+    def _triples() -> DataFrame:
+        addendum_triples = _addenda_f().select(
+            F.col("current_node").alias("subj"),
+            F.lit("addendum").alias("pred"),
+            F.col("node_addendum").alias("obj"),
+            "conv_id",
+            "turn_idx",
+        )
+        triples = (
+            _node_triples(derived)
+            .unionByName(_mention_triples(_linked()))
+            .unionByName(_definition_triples(_defs(), _linked_incorp()))
+            .unionByName(addendum_triples)
+        )
+        if alias_edges is not None:
+            labels = canonicalize.connected_components(alias_edges)
+            triples = triples.unionByName(canonicalize.alias_of_triples(labels))
+            if canonicalize_triples:
+                triples = canonicalize.rewrite_to_canonical(triples, labels)
+        return triples
 
     def _rel_src() -> DataFrame:
         # cheap projection of the node rows: everything keyed off hierarchy
@@ -354,16 +390,15 @@ def run_pipeline(
         # enriched frame — otherwise each relationship join would
         # re-evaluate the node_text / embedding subtree (measured: the
         # nodes write goes from minutes to seconds at 500k turns)
-        if "rel_src" not in shared:
-            shared["rel_src"] = extract.nodes_table(derived).select(
+        return _memo(
+            "rel_src",
+            lambda: extract.nodes_table(derived).select(
                 "node_id", "parent", "turn_idx"
-            )
-        return shared["rel_src"]
+            ),
+        )
 
     def _cites() -> DataFrame:
-        if "cites" not in shared:
-            shared["cites"] = graph.cites_edges(linked)
-        return shared["cites"]
+        return _memo("cites", lambda: graph.cites_edges(_linked()))
 
     def _nodes() -> DataFrame:
         # nodes enriched with the reference's per-node payloads: addendum
@@ -374,12 +409,12 @@ def run_pipeline(
         # embedding (3_process.py:18-36) — token/embedding expressions run
         # over the FULL node text (falling back to the marker heading for
         # childless nodes)
-        node_texts = extract.node_text_agg(derived, addenda=addenda)
+        node_texts = extract.node_text_agg(derived, addenda=_addenda_f())
         full_text = F.coalesce(F.col("node_text"), F.col("text"))
         nodes = (
             extract.nodes_table(derived)
             .join(
-                F.broadcast(addenda.select(
+                F.broadcast(_addenda_f().select(
                     F.col("current_node").alias("node_id"), "node_addendum"
                 )),
                 "node_id",
@@ -418,17 +453,17 @@ def run_pipeline(
         # definition-scope closure (reference fetch_definitions ancestor
         # walk, pydanticModels.py:654-757): node → the terms that apply
         return defscope.applicable_definitions(
-            _rel_src(), defs, incorporated=linked_incorp
+            _rel_src(), _defs(), incorporated=_linked_incorp()
         )
 
     return PipelineResult(
         turns=derived,
-        mentions=linked,
-        definitions=defs,
-        triples=triples,
+        mentions_fn=_linked,
+        definitions_fn=_defs,
+        triples_fn=_triples,
         nodes_fn=_nodes,
         edges_fn=_edges,
         applicable_defs_fn=_applicable_defs,
-        rewritten_fn=lambda: _rewritten_turns(derived, linked),
+        rewritten_fn=lambda: _rewritten_turns(derived, _linked()),
         spill_dir=spill_dir,
     )
