@@ -760,14 +760,24 @@ def q_sort_paragraph_index(spark, sf_dir):
     min_by/max_by ordered aggregates."""
     li = _t(spark, sf_dir, "lineitem")
     # linenumbers can tie within an order in the synthetic data; lexicographic
-    # struct min/max keeps first/last deterministic on both engines
+    # struct min/max keeps first/last deterministic on both engines.
+    # Quantities are hashed as integer cents so the driver compare never
+    # sees a raw double (the window_session normalization-failure class).
     return li.groupBy("l_orderkey").agg(
         F.round(
-            F.min(F.struct("l_linenumber", "l_quantity")).getField("l_quantity"), 2
-        ).alias("first_qty"),
+            F.min(F.struct("l_linenumber", "l_quantity")).getField("l_quantity")
+            * 100,
+            0,
+        )
+        .cast("bigint")
+        .alias("first_qty"),
         F.round(
-            F.max(F.struct("l_linenumber", "l_quantity")).getField("l_quantity"), 2
-        ).alias("last_qty"),
+            F.max(F.struct("l_linenumber", "l_quantity")).getField("l_quantity")
+            * 100,
+            0,
+        )
+        .cast("bigint")
+        .alias("last_qty"),
         F.count("*").alias("n_lines"),
     )
 
@@ -806,8 +816,13 @@ def q_agg_total_rows(spark, sf_dir):
     (TOTAL_ROWS_READ loop, 3_process.py:19-35) as batch agg + cumulative
     window."""
     o = _t(spark, sf_dir, "orders")
+    # decimal-summed integer cents: float-free hashed payload (the
+    # window_session normalization-failure class)
     per_batch = o.groupBy((F.col("o_orderkey") % 8).alias("batch")).agg(
-        F.count("*").alias("n_rows"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")) * 100, 0)
+        .cast("bigint")
+        .alias("sum_price"),
     )
     w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
     return per_batch.select(
@@ -866,9 +881,17 @@ def q_agg_percentile(spark, sf_dir):
     (linear interpolation; Spark `percentile` == DuckDB `quantile_cont`)
     per event type."""
     e = _t(spark, sf_dir, "events")
+    # events.value is 2-dp and the interpolation fraction has one decimal
+    # digit, so every exact percentile is a 3-dp decimal; scaling by 1e4
+    # and rounding to a bigint makes the hashed payload float-free (the
+    # window_session normalization-failure class) without losing precision.
     return e.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.5)") * 10000, 0)
+        .cast("bigint")
+        .alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)") * 10000, 0)
+        .cast("bigint")
+        .alias("p90"),
         F.count("*").alias("n"),
     )
 
@@ -1861,8 +1884,10 @@ ORACLE_SQL: dict[str, str] = {
             FROM lineitem
         )
         SELECT l_orderkey,
-               round(min(CASE WHEN l_linenumber = mn THEN l_quantity END), 2) AS first_qty,
-               round(max(CASE WHEN l_linenumber = mx THEN l_quantity END), 2) AS last_qty,
+               CAST(round(min(CASE WHEN l_linenumber = mn THEN l_quantity END) * 100, 0)
+                 AS BIGINT) AS first_qty,
+               CAST(round(max(CASE WHEN l_linenumber = mx THEN l_quantity END) * 100, 0)
+                 AS BIGINT) AS last_qty,
                count(*) AS n_lines
         FROM ext GROUP BY l_orderkey
     """,
@@ -1884,7 +1909,8 @@ ORACLE_SQL: dict[str, str] = {
     "agg_total_rows": """
         WITH per_batch AS (
             SELECT o_orderkey % 8 AS batch, count(*) AS n_rows,
-                   round(sum(o_totalprice), 2) AS sum_price
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 100, 0)
+                     AS BIGINT) AS sum_price
             FROM orders GROUP BY o_orderkey % 8
         )
         SELECT batch, n_rows, sum_price,
@@ -1909,8 +1935,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "agg_percentile": """
         SELECT event_type,
-               round(quantile_cont(value, 0.5), 4) AS p50,
-               round(quantile_cont(value, 0.9), 4) AS p90,
+               CAST(round(quantile_cont(value, 0.5) * 10000, 0) AS BIGINT) AS p50,
+               CAST(round(quantile_cont(value, 0.9) * 10000, 0) AS BIGINT) AS p90,
                count(*) AS n
         FROM events GROUP BY event_type
     """,
