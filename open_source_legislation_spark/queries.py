@@ -1051,6 +1051,54 @@ def q_src_xml_parse(spark, sf_dir):
     )
 
 
+def q_src_html_parse(spark, sf_dir):
+    """SURVEY §2.1 src_html_cached — cached-HTML source, parse layer
+    (reference reads pre-downloaded ``data/title-N.html`` and walks the TOC
+    div/anchor tree with BeautifulSoup, scrapeECFR.py:110-112,1212-1228).
+    Acquisition stays out of scope per SURVEY; this exercises the parsing
+    Spark-first: build one well-formed XHTML TOC document per nation from
+    supplier rows (anchor list inside a classed div — the reference's TOC
+    shape), then recover structured rows with the JVM ``xpath`` expression
+    family plus an href ``regexp_extract`` — distributed per row, no
+    Python worker, whole-stage-codegen friendly. The oracle is the
+    pre-serialization relation, so any parse infidelity breaks the hash."""
+    s = _t(spark, sf_dir, "supplier")
+    docs = s.groupBy("s_nationkey").agg(
+        F.concat(
+            F.lit('<html><body><div class="toc">'),
+            F.concat_ws(
+                "",
+                F.array_sort(
+                    F.collect_list(
+                        F.concat(
+                            F.lit('<a href="/title/'),
+                            F.col("s_suppkey").cast("string"),
+                            F.lit('">'),
+                            F.col("s_name"),
+                            F.lit("</a>"),
+                        )
+                    )
+                ),
+            ),
+            F.lit("</div></body></html>"),
+        ).alias("html")
+    )
+    parsed = docs.select(
+        F.col("s_nationkey").cast("bigint").alias("nationkey"),
+        F.expr("xpath(html, '//div[@class=\"toc\"]/a/text()')").alias("names"),
+        F.expr("xpath(html, '//div[@class=\"toc\"]/a/@href')").alias("hrefs"),
+    )
+    return parsed.select(
+        "nationkey", F.explode(F.arrays_zip("names", "hrefs")).alias("z")
+    ).select(
+        "nationkey",
+        F.col("z.names").alias("s_name"),
+        F.regexp_extract(F.col("z.hrefs"), r"/title/(\d+)$", 1)
+        .cast("bigint")
+        .alias("s_suppkey"),
+    )
+
+
 def q_snk_upsert_merge(spark, sf_dir):
     """SURVEY §2.1 snk_update/snk_upsert — keyed MERGE sink (reference
     pydantic_upsert try-insert-on-conflict-update, utilityFunctions.py:
@@ -1213,6 +1261,7 @@ NEVER_DRIVER_VERIFIED: list[str] = [
     "snk_parquet_roundtrip",
     "snk_upsert_merge",  # new in r3 (keyed MERGE sink)
     "src_xml_parse",  # new in r3 (xpath XML source parsing)
+    "src_html_parse",  # new in r3 (xpath/regex cached-HTML TOC parsing)
     "src_toc_file",
     "stream_sessionize",
     "sim_ivf_build",
@@ -1247,6 +1296,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snk_parquet_roundtrip": q_snk_parquet_roundtrip,
     "snk_upsert_merge": q_snk_upsert_merge,
     "src_xml_parse": q_src_xml_parse,
+    "src_html_parse": q_src_html_parse,
     "src_toc_file": q_src_toc_file,
     "stream_sessionize": q_stream_sessionize,
     "sim_ivf_build": q_sim_ivf_build,
@@ -1989,6 +2039,11 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(n_regionkey AS BIGINT) AS regionkey, n_name,
                CAST(n_nationkey AS BIGINT) AS n_nationkey
         FROM nation
+    """,
+    "src_html_parse": """
+        SELECT CAST(s_nationkey AS BIGINT) AS nationkey, s_name,
+               CAST(s_suppkey AS BIGINT) AS s_suppkey
+        FROM supplier
     """,
     "snk_upsert_merge": """
         WITH updates AS (
