@@ -115,7 +115,14 @@ def main() -> None:
     kg_wall2, _ = run_kg_pipeline(spark, transcripts_path)
     kg_wall = min(kg_wall, kg_wall2)
     timings["kg_pipeline"] = round(kg_wall, 3)
-    timings["kg_nodes_full"] = round(run_kg_nodes(spark, transcripts_path), 3)
+    # best of 2 for the same host-swing reason as kg_pipeline
+    timings["kg_nodes_full"] = round(
+        min(
+            run_kg_nodes(spark, transcripts_path),
+            run_kg_nodes(spark, transcripts_path),
+        ),
+        3,
+    )
 
     for name in HEADLINE_CONTRACT:
         fn = QUERIES[name]
