@@ -81,6 +81,26 @@ def language_id(docs: DataFrame, threshold: float = 0.04) -> DataFrame:
     )
 
 
+def vocab_topk(docs: DataFrame, k: int = 20) -> DataFrame:
+    """(token, df) — the k tokens with highest DOCUMENT frequency (count of
+    documents containing the token, not raw occurrences), tie-broken by
+    token text so the top-k set is a total order on (df desc, token asc)
+    and identical on every engine.
+
+    Scale shape: array_distinct runs per row pre-shuffle, the explode stays
+    JVM-side, the groupBy count partial-aggregates map-side (token cardinality
+    ≪ corpus), and the limit compiles to TakeOrderedAndProject — no global
+    sort materializes."""
+    toks = F.array_distinct(_tokens(F.col("text")))
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, fp) — 16-hex-char fingerprint of whitespace-normalized text
     (reference content-identity analog of node_id determinism)."""

@@ -22,6 +22,7 @@ from .operators import (
     dedup,
     defscope,
     multimodal,
+    sampling,
     similarity,
     text_analysis,
 )
@@ -662,6 +663,29 @@ def q_ta_fingerprint(spark, sf_dir):
     return text_analysis.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_ta_vocab_topk(spark, sf_dir):
+    """Document-frequency vocabulary top-k (operators/text_analysis.py
+    vocab_topk): per-row distinct tokens → JVM explode → partial-aggregated
+    count → TakeOrderedAndProject; ties broken by token text so the top-k
+    SET is engine-identical."""
+    return text_analysis.vocab_topk(_t(spark, sf_dir, "documents"), k=20)
+
+
+def q_smp_split_hash(spark, sf_dir):
+    """Deterministic train/eval split (operators/sampling.py split_assign):
+    md5-hex-prefix comparison on the stable doc key — partitioning-, seed-,
+    and engine-independent, unlike Bernoulli df.sample()."""
+    return sampling.split_assign(_t(spark, sf_dir, "documents"))
+
+
+def q_smp_pack_budget(spark, sf_dir):
+    """Token-budget sequence packing (operators/sampling.py
+    pack_token_budget): per-source exclusive running token offset →
+    pack_id = floor(offset/512). Windows are partitioned by source — no
+    global ordering anywhere in the plan."""
+    return sampling.pack_token_budget(_t(spark, sf_dir, "documents"), budget=512)
+
+
 def q_join_parent_exists(spark, sf_dir):
     """SURVEY §2.3 join_parent_exists — null-parent invariant
     (CLAUDE.md:443-446): rows with a null parent key must be zero."""
@@ -1262,6 +1286,9 @@ NEVER_DRIVER_VERIFIED: list[str] = [
     "snk_upsert_merge",  # new in r3 (keyed MERGE sink)
     "src_xml_parse",  # new in r3 (xpath XML source parsing)
     "src_html_parse",  # new in r3 (xpath/regex cached-HTML TOC parsing)
+    "ta_vocab_topk",  # new in r3 (document-frequency vocabulary)
+    "smp_split_hash",  # new in r3 (deterministic train/eval split)
+    "smp_pack_budget",  # new in r3 (token-budget sequence packing)
     "src_toc_file",
     "stream_sessionize",
     "sim_ivf_build",
@@ -1297,6 +1324,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snk_upsert_merge": q_snk_upsert_merge,
     "src_xml_parse": q_src_xml_parse,
     "src_html_parse": q_src_html_parse,
+    "ta_vocab_topk": q_ta_vocab_topk,
+    "smp_split_hash": q_smp_split_hash,
+    "smp_pack_budget": q_smp_pack_budget,
     "src_toc_file": q_src_toc_file,
     "stream_sessionize": q_stream_sessionize,
     "sim_ivf_build": q_sim_ivf_build,
@@ -2044,6 +2074,37 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(s_nationkey AS BIGINT) AS nationkey, s_name,
                CAST(s_suppkey AS BIGINT) AS s_suppkey
         FROM supplier
+    """,
+    "ta_vocab_topk": """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+                   AS token
+          FROM documents
+        )
+        SELECT token, count(*) AS df
+        FROM tok GROUP BY token
+        ORDER BY df DESC, token ASC
+        LIMIT 20
+    """,
+    "smp_split_hash": """
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                    THEN 'eval' ELSE 'train' END AS split
+        FROM documents
+    """,
+    "smp_pack_budget": """
+        WITH t AS (
+          SELECT doc_id, source,
+                 len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST(floor(coalesce(sum(n_tokens) OVER (
+                      PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0) / 512) AS BIGINT) AS pack_id
+        FROM t
     """,
     "snk_upsert_merge": """
         WITH updates AS (

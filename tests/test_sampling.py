@@ -1,0 +1,83 @@
+"""Invariants for the training-data sampling/packing/vocab operators.
+
+The contract sweep pins value-parity vs DuckDB; these tests pin the
+properties the operators exist for: the split is partitioning- and
+growth-invariant (eval membership never changes when data is added), the
+packing layout is a correct exclusive-offset chunking, and the vocab
+top-k is a deterministic total order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from open_source_legislation_spark.operators import sampling, text_analysis
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (i, f"src_{i % 4}", f"the doc {i} of words and the tokens row {i % 7}")
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+
+
+def test_split_matches_md5_reference_and_ignores_partitioning(docs_df):
+    got = {r["doc_id"]: r["split"] for r in sampling.split_assign(docs_df).collect()}
+    re7 = {
+        r["doc_id"]: r["split"]
+        for r in sampling.split_assign(docs_df.repartition(7)).collect()
+    }
+    assert got == re7
+    for doc_id, split in got.items():
+        pfx = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+        assert split == ("eval" if pfx < "1a" else "train")
+    # ~10% eval at the default threshold; wide band to stay seed-free
+    n_eval = sum(1 for s in got.values() if s == "eval")
+    assert 5 <= n_eval <= 40
+
+
+def test_split_is_growth_invariant(spark, docs_df):
+    before = dict(
+        (r["doc_id"], r["split"]) for r in sampling.split_assign(docs_df).collect()
+    )
+    more = docs_df.unionByName(
+        spark.createDataFrame(
+            [(10_000 + i, "src_new", f"new doc {i}") for i in range(50)],
+            "doc_id: long, source: string, text: string",
+        )
+    )
+    after = dict(
+        (r["doc_id"], r["split"]) for r in sampling.split_assign(more).collect()
+    )
+    assert all(after[k] == v for k, v in before.items())
+
+
+def test_pack_budget_is_exclusive_offset_chunking(docs_df):
+    out = sampling.pack_token_budget(docs_df, budget=50).collect()
+    by_source: dict[str, list] = {}
+    for r in out:
+        by_source.setdefault(r["source"], []).append(r)
+    assert len(by_source) == 4
+    for rows in by_source.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        offset = 0
+        prev_pack = 0
+        for r in rows:
+            assert r["pack_id"] == offset // 50
+            assert r["pack_id"] >= prev_pack  # packs are monotone per shard
+            prev_pack = r["pack_id"]
+            offset += r["n_tokens"]
+
+
+def test_vocab_topk_total_order(docs_df):
+    out = text_analysis.vocab_topk(docs_df, k=10).collect()
+    assert len(out) == 10
+    pairs = [(-r["df"], r["token"]) for r in out]
+    assert pairs == sorted(pairs)
+    # 'the' appears twice per doc but counts ONCE per doc (document frequency)
+    dfs = {r["token"]: r["df"] for r in out}
+    assert dfs["the"] == 200
