@@ -1001,6 +1001,44 @@ def q_stream_sessionize(spark, sf_dir):
     )
 
 
+def q_stream_window_agg(spark, sf_dir):
+    """SURVEY §2.11 built-in streaming windowed aggregation — watermarked
+    event-time tumbling windows (streaming/incremental.py
+    tumbling_window_agg) run to completion via ``Trigger.AvailableNow`` in
+    append mode. Append emits exactly the windows whose END the final
+    watermark (max event ts − 1 hour) has passed; the oracle reproduces
+    that cutoff. Sums are decimal integer cents — float-free payload."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.incremental import tumbling_window_agg
+
+    run_root = tempfile.mkdtemp(prefix="oslspark_twagg_")
+    src_dir = f"{run_root}/events"
+    os.makedirs(src_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(src_dir)
+    agg = tumbling_window_agg(stream, window="1 day", watermark="1 hour")
+    sink = f"oslspark_twagg_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{run_root}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_window_agg: AvailableNow run exceeded 300 s")
+    return spark.table(sink)
+
+
 def q_sim_ivf_build(spark, sf_dir):
     """IVF index BUILD (deterministic Lloyd k-means, similarity.ivf_build)
     — cell-size histogram of the built index. No SQL oracle: iterative
@@ -1289,6 +1327,7 @@ NEVER_DRIVER_VERIFIED: list[str] = [
     "ta_vocab_topk",  # new in r3 (document-frequency vocabulary)
     "smp_split_hash",  # new in r3 (deterministic train/eval split)
     "smp_pack_budget",  # new in r3 (token-budget sequence packing)
+    "stream_window_agg",  # new in r3 (watermarked tumbling-window agg)
     "src_toc_file",
     "stream_sessionize",
     "sim_ivf_build",
@@ -1327,6 +1366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ta_vocab_topk": q_ta_vocab_topk,
     "smp_split_hash": q_smp_split_hash,
     "smp_pack_budget": q_smp_pack_budget,
+    "stream_window_agg": q_stream_window_agg,
     "src_toc_file": q_src_toc_file,
     "stream_sessionize": q_stream_sessionize,
     "sim_ivf_build": q_sim_ivf_build,
@@ -2092,6 +2132,18 @@ ORACLE_SQL: dict[str, str] = {
                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
                     THEN 'eval' ELSE 'train' END AS split
         FROM documents
+    """,
+    "stream_window_agg": """
+        WITH agg AS (
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS wstart, event_type,
+                 count(*) AS n_events,
+                 CAST(round(sum(CAST(value AS DECIMAL(18,6))) * 100, 0) AS BIGINT)
+                   AS cents
+          FROM events GROUP BY 1, 2
+        )
+        SELECT wstart, event_type, n_events, cents
+        FROM agg
+        WHERE wstart + INTERVAL 1 DAY <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
     """,
     "smp_pack_budget": """
         WITH t AS (

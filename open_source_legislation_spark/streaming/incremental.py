@@ -17,9 +17,39 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import schemas
 from ..plans.pipeline import run_pipeline
+
+
+def tumbling_window_agg(
+    stream: DataFrame,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked event-time tumbling-window aggregation — the built-in
+    Structured-Streaming windowed-agg path (vs the custom
+    ``applyInPandasWithState`` sessionizer in ``stateful.py``): per
+    (window, event_type) counts and an exact decimal cents sum.
+
+    In append output mode a window emits only once the watermark
+    (max event time − delay) passes its END — late rows inside the delay
+    still land in their window; state for closed windows is evicted, so
+    memory is bounded by (windows in flight × event types), independent of
+    stream length. Value sums are decimal-summed integer cents: float-free
+    results, immune to accumulation-order and normalization variance."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")) * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .select(F.col("w.start").alias("wstart"), "event_type", "n_events", "cents")
+    )
 
 
 def incremental_extract(
