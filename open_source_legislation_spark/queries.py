@@ -1069,6 +1069,43 @@ def q_snk_parquet_roundtrip(spark, sf_dir):
     )
 
 
+def q_snk_snapshot_travel(spark, sf_dir):
+    """SURVEY §2.1 sink family — snapshot versioning + time travel
+    (Iceberg ``VERSION AS OF`` analog, sources/io.py write_snapshot /
+    read_snapshot; the reference mutates one Postgres table in place and
+    has no history). Seed v1 from customer, commit a modified v2, then
+    time-travel-read BOTH versions and aggregate — v1 must still show the
+    pre-update world."""
+    import tempfile
+
+    from .sources import io as osl_io
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.select("c_custkey", F.col("c_mktsegment").alias("seg"))
+    out = tempfile.mkdtemp(prefix="oslspark_snap_")
+    v1 = osl_io.write_snapshot(base, out, "cust")
+    updated = base.withColumn(
+        "seg",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("MOVED")).otherwise(
+            F.col("seg")
+        ),
+    )
+    osl_io.write_snapshot(updated, out, "cust")
+    s1 = (
+        osl_io.read_snapshot(spark, out, "cust", version=v1)
+        .groupBy("seg")
+        .agg(F.count("*").alias("n"))
+        .withColumn("version", F.lit(1))
+    )
+    s2 = (
+        osl_io.read_snapshot(spark, out, "cust")  # latest == v2
+        .groupBy("seg")
+        .agg(F.count("*").alias("n"))
+        .withColumn("version", F.lit(2))
+    )
+    return s1.unionByName(s2)
+
+
 def q_src_xml_parse(spark, sf_dir):
     """SURVEY §2.1 src_xml — XML source parsing (reference reads USC titles
     from ``usc{NN}.xml`` with bs4, scrapeUSC.py:38-42). Spark-first: the
@@ -1328,6 +1365,7 @@ NEVER_DRIVER_VERIFIED: list[str] = [
     "smp_split_hash",  # new in r3 (deterministic train/eval split)
     "smp_pack_budget",  # new in r3 (token-budget sequence packing)
     "stream_window_agg",  # new in r3 (watermarked tumbling-window agg)
+    "snk_snapshot_travel",  # new in r3 (snapshot versioning + time travel)
     "src_toc_file",
     "stream_sessionize",
     "sim_ivf_build",
@@ -1367,6 +1405,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "smp_split_hash": q_smp_split_hash,
     "smp_pack_budget": q_smp_pack_budget,
     "stream_window_agg": q_stream_window_agg,
+    "snk_snapshot_travel": q_snk_snapshot_travel,
     "src_toc_file": q_src_toc_file,
     "stream_sessionize": q_stream_sessionize,
     "sim_ivf_build": q_sim_ivf_build,
@@ -2132,6 +2171,16 @@ ORACLE_SQL: dict[str, str] = {
                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
                     THEN 'eval' ELSE 'train' END AS split
         FROM documents
+    """,
+    "snk_snapshot_travel": """
+        SELECT c_mktsegment AS seg, count(*) AS n, 1 AS version
+        FROM customer GROUP BY c_mktsegment
+        UNION ALL
+        SELECT CASE WHEN c_custkey % 10 = 0 THEN 'MOVED' ELSE c_mktsegment END
+                 AS seg,
+               count(*) AS n, 2 AS version
+        FROM customer
+        GROUP BY CASE WHEN c_custkey % 10 = 0 THEN 'MOVED' ELSE c_mktsegment END
     """,
     "stream_window_agg": """
         WITH agg AS (

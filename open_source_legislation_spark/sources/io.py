@@ -59,6 +59,50 @@ def write_table(
     return path
 
 
+def write_snapshot(
+    df: DataFrame, base_dir: str, name: str
+) -> int:
+    """Snapshot-versioned write — the Iceberg time-travel analog (the
+    design target writes ``writeTo(...).append()`` and reads
+    ``VERSION AS OF``; reference history is one mutable Postgres table).
+    Each write lands a NEW immutable directory ``<name>/v=<n>/`` and
+    appends its id to a ``_snapshots`` manifest; old snapshots are never
+    rewritten, so concurrent readers of an existing version are unaffected
+    and a reader of version n scans exactly one directory — the same
+    directory-level pruning the checkpoint runner's bucket layout uses.
+    Returns the new snapshot id."""
+    root = os.path.join(base_dir, name)
+    manifest = os.path.join(root, "_snapshots")
+    os.makedirs(root, exist_ok=True)
+    existing = []
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            existing = [int(x) for x in fh.read().split() if x]
+    version = (max(existing) + 1) if existing else 1
+    df.write.mode("overwrite").parquet(os.path.join(root, f"v={version}"))
+    # manifest append is the commit point (write dir first, publish last)
+    with open(manifest, "a") as fh:
+        fh.write(f"{version}\n")
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, base_dir: str, name: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: ``version=None`` → latest committed snapshot.
+    Reads only the requested snapshot's directory — no scan over history."""
+    root = os.path.join(base_dir, name)
+    manifest = os.path.join(root, "_snapshots")
+    with open(manifest) as fh:
+        versions = [int(x) for x in fh.read().split() if x]
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {root}")
+    v = version if version is not None else max(versions)
+    if v not in versions:
+        raise ValueError(f"snapshot v={v} not committed (have {versions})")
+    return spark.read.parquet(os.path.join(root, f"v={v}"))
+
+
 def upsert_table(
     spark: SparkSession,
     updates: DataFrame,
