@@ -92,6 +92,9 @@ HEADLINE_CONTRACT = [
     # sub-quadratic LSH ANN path
     "dedup_embedding_cosine",
     "sim_ann_lsh",
+    # round-3 training-data ops: DF vocabulary and token-budget packing
+    "ta_vocab_topk",
+    "smp_pack_budget",
 ]
 
 
