@@ -50,6 +50,42 @@ def split_assign(
     )
 
 
+def decontaminate(docs: DataFrame, n: int = 3, key: str = "doc_id") -> DataFrame:
+    """(doc_id, n_contaminated) — for every EVAL document (per
+    ``split_assign``), how many of its distinct token n-grams also occur in
+    ANY train document. The standard eval-decontamination probe: a
+    benchmark row sharing verbatim n-grams with the training set is
+    leaking; rows with n_contaminated = 0 are clean.
+
+    Scale shape: the train-side shingle set is reduced to DISTINCT values
+    first (bounded by n-gram vocabulary, ≪ corpus; partial-aggregated
+    map-side), so the contamination join shuffles shingle-cardinality rows,
+    not corpus rows. At 10^12 train docs with a small eval set, flip the
+    build side: collect/broadcast the EVAL shingle set and semi-join the
+    train scan against it — same result, zero wide shuffle. Shingling
+    reuses ``dedup.shingles`` so the n-gram space is identical to the
+    dedup/jaccard family's.
+    """
+    from .dedup import shingles
+
+    sh = shingles(docs.select(key, "text"), n)
+    split = split_assign(docs, key=key)
+    tagged = sh.join(split, key)
+    train_sh = (
+        tagged.filter(F.col("split") == "train").select("shingle").distinct()
+    )
+    hits = (
+        tagged.filter(F.col("split") == "eval")
+        .join(train_sh, "shingle")
+        .groupBy(key)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    eval_docs = split.filter(F.col("split") == "eval").select(key)
+    return eval_docs.join(hits, key, "left").select(
+        key, F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated")
+    )
+
+
 def pack_token_budget(docs: DataFrame, budget: int = 512) -> DataFrame:
     """(doc_id, source, n_tokens, pack_id) — contiguous sequence packing:
     documents ordered by doc_id within their source shard are laid into

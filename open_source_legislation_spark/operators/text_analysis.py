@@ -101,6 +101,49 @@ def vocab_topk(docs: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def repetition_scores(docs: DataFrame, n: int = 2) -> DataFrame:
+    """(doc_id, rep_permille) — occurrences of the document's most frequent
+    token n-gram over its total n-gram occurrences, as floor permille (the
+    Gopher-style repetition/boilerplate signal: near-1000 means the text is
+    one phrase repeated).
+
+    Float-free output: max/total are exact integers; their double quotient
+    is correctly rounded identically on every engine, and floor of it never
+    sits on a representability boundary unless the quotient is exact —
+    where both engines hold the same exact double."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
+    )
+    per_gram = (
+        docs.select("doc_id", _tokens(F.col("text")).alias("w"))
+        .select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.floor(F.max("c") * 1000.0 / F.sum("c"))
+        .cast("bigint")
+        .alias("rep_permille")
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, redacted, n_redacted) — e-mail addresses replaced with
+    ``[EMAIL]`` plus a per-row match count; one codegen'd regexp pass, the
+    shape every pretraining pipeline runs before publishing text."""
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(F.col(text_col), _EMAIL_RE, "[EMAIL]").alias("redacted"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(_EMAIL_RE), 0))
+        .cast("int")
+        .alias("n_redacted"),
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, fp) — 16-hex-char fingerprint of whitespace-normalized text
     (reference content-identity analog of node_id determinism)."""

@@ -671,6 +671,44 @@ def q_ta_vocab_topk(spark, sf_dir):
     return text_analysis.vocab_topk(_t(spark, sf_dir, "documents"), k=20)
 
 
+def q_ta_repetition(spark, sf_dir):
+    """Gopher-style repetition signal (operators/text_analysis.py
+    repetition_scores): most-frequent-bigram share of all bigram
+    occurrences, floor permille — float-free payload."""
+    return text_analysis.repetition_scores(_t(spark, sf_dir, "documents"), n=2)
+
+
+def q_ta_redact(spark, sf_dir):
+    """PII redaction (operators/text_analysis.py redact_pii): e-mails →
+    ``[EMAIL]`` in one codegen'd regexp pass + a match count. The corpus
+    has no e-mails, so the query splices deterministic synthetic addresses
+    into each row first (same build-then-process shape as the src_xml /
+    src_html queries); the oracle replicates splice and redaction."""
+    d = _t(spark, sf_dir, "documents")
+    with_pii = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" cc admin.ops@example.org ")
+            ).otherwise(F.lit(" ")),
+            F.lit("end"),
+        ).alias("text"),
+    )
+    return text_analysis.redact_pii(with_pii)
+
+
+def q_smp_decontaminate(spark, sf_dir):
+    """Eval-set decontamination (operators/sampling.py decontaminate):
+    per eval document, the count of its distinct 3-gram shingles that also
+    occur anywhere in the train split — composition of the deterministic
+    md5 split and the dedup family's shingle space."""
+    return sampling.decontaminate(_t(spark, sf_dir, "documents"), n=3)
+
+
 def q_smp_split_hash(spark, sf_dir):
     """Deterministic train/eval split (operators/sampling.py split_assign):
     md5-hex-prefix comparison on the stable doc key — partitioning-, seed-,
@@ -1366,6 +1404,9 @@ NEVER_DRIVER_VERIFIED: list[str] = [
     "smp_pack_budget",  # new in r3 (token-budget sequence packing)
     "stream_window_agg",  # new in r3 (watermarked tumbling-window agg)
     "snk_snapshot_travel",  # new in r3 (snapshot versioning + time travel)
+    "ta_repetition",  # new in r3 (Gopher-style repetition permille)
+    "ta_redact",  # new in r3 (e-mail PII redaction)
+    "smp_decontaminate",  # new in r3 (eval-set n-gram decontamination)
     "src_toc_file",
     "stream_sessionize",
     "sim_ivf_build",
@@ -1406,6 +1447,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "smp_pack_budget": q_smp_pack_budget,
     "stream_window_agg": q_stream_window_agg,
     "snk_snapshot_travel": q_snk_snapshot_travel,
+    "ta_repetition": q_ta_repetition,
+    "ta_redact": q_ta_redact,
+    "smp_decontaminate": q_smp_decontaminate,
     "src_toc_file": q_src_toc_file,
     "stream_sessionize": q_stream_sessionize,
     "sim_ivf_build": q_sim_ivf_build,
@@ -2171,6 +2215,68 @@ ORACLE_SQL: dict[str, str] = {
                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
                     THEN 'eval' ELSE 'train' END AS split
         FROM documents
+    """,
+    "ta_repetition": """
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 unnest([array_to_string(w[i:i+1], ' ')
+                         FOR i IN range(1, greatest(len(w), 2))]) AS g
+          FROM toks
+        ), cnt AS (
+          SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+        )
+        SELECT doc_id,
+               CAST(floor(max(c) * 1000.0 / sum(c)) AS BIGINT) AS rep_permille
+        FROM cnt GROUP BY doc_id
+    """,
+    "ta_redact": """
+        WITH pii AS (
+          SELECT doc_id,
+                 substr(text, 1, 40) || ' contact user' ||
+                 CAST(doc_id AS VARCHAR) || '@example.com' ||
+                 CASE WHEN doc_id % 3 = 0 THEN ' cc admin.ops@example.org '
+                      ELSE ' ' END || 'end' AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+                              '[EMAIL]', 'g') AS redacted,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS INT) AS n_redacted
+        FROM pii
+    """,
+    "smp_decontaminate": """
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, unnest(list_distinct(
+            [array_to_string(w[i:i+2], ' ')
+             FOR i IN range(1, greatest(len(w)-1, 1))]
+          )) AS shingle
+          FROM toks
+        ), split AS (
+          SELECT doc_id,
+                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                      THEN 'eval' ELSE 'train' END AS split
+          FROM documents
+        ), train_sh AS (
+          SELECT DISTINCT shingle
+          FROM sh JOIN split USING (doc_id) WHERE split = 'train'
+        ), hits AS (
+          SELECT s.doc_id, count(*) AS n_contaminated
+          FROM sh s
+          JOIN split sp USING (doc_id)
+          JOIN train_sh t ON s.shingle = t.shingle
+          WHERE sp.split = 'eval'
+          GROUP BY s.doc_id
+        )
+        SELECT sp.doc_id, coalesce(h.n_contaminated, 0) AS n_contaminated
+        FROM split sp LEFT JOIN hits h USING (doc_id)
+        WHERE sp.split = 'eval'
     """,
     "snk_snapshot_travel": """
         SELECT c_mktsegment AS seg, count(*) AS n, 1 AS version

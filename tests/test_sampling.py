@@ -73,6 +73,27 @@ def test_pack_budget_is_exclusive_offset_chunking(docs_df):
             offset += r["n_tokens"]
 
 
+def test_decontaminate_counts_cross_split_shingle_overlap(spark):
+    # doc 6 hashes to 'eval' (md5('6') starts '16'), docs 2 and 12 to
+    # 'train' (md5('2')='c8...', md5('12')='c2...'); doc 6 shares its
+    # whole text with train doc 2 → every distinct 3-gram contaminated
+    rows = [
+        (2, "alpha beta gamma delta epsilon"),  # train
+        (12, "zeta eta theta iota kappa"),  # train
+        (6, "alpha beta gamma delta epsilon"),  # eval, fully leaked
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["doc_id"]: r["n_contaminated"] for r in
+           sampling.decontaminate(docs, n=3).collect()}
+    assert out == {6: 3}  # 5 tokens → 3 distinct trigrams, all in train
+
+    # remove the leaked train doc → clean eval row reported with 0
+    docs2 = spark.createDataFrame(rows[1:], "doc_id: long, text: string")
+    out2 = {r["doc_id"]: r["n_contaminated"] for r in
+            sampling.decontaminate(docs2, n=3).collect()}
+    assert out2 == {6: 0}
+
+
 def test_vocab_topk_total_order(docs_df):
     out = text_analysis.vocab_topk(docs_df, k=10).collect()
     assert len(out) == 10
