@@ -70,6 +70,9 @@ def write_snapshot(
     rewritten, so concurrent readers of an existing version are unaffected
     and a reader of version n scans exactly one directory — the same
     directory-level pruning the checkpoint runner's bucket layout uses.
+    Single-writer, like a default Iceberg table: two concurrent writers
+    could allocate the same version id (real Iceberg serializes commits via
+    atomic metadata swap; the parquet stand-in does not try to).
     Returns the new snapshot id."""
     root = os.path.join(base_dir, name)
     manifest = os.path.join(root, "_snapshots")
