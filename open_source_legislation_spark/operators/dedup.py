@@ -22,13 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .text_analysis import _ngrams, _tokens
+
 # portable hash: same value in DuckDB via CAST('0x'||substr(md5(s),1,8) AS BIGINT)
 def _h64(col):
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
-
-
-def _tokens(text_col):
-    return F.split(F.trim(F.lower(text_col)), r"\s+")
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -46,14 +44,7 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     toks = docs.select("doc_id", _tokens(F.col("text")).alias("w"))
     return toks.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(0))),
-                    lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
-                )
-            )
-        ).alias("shingle"),
+        F.explode(F.array_distinct(_ngrams(F.col("w"), n))).alias("shingle"),
     ).filter(F.length("shingle") > 0)
 
 

@@ -18,6 +18,17 @@ def _tokens(text_col):
     return F.split(F.trim(F.lower(text_col)), r"\s+")
 
 
+def _ngrams(w, n: int):
+    """Token n-gram array over a token-array column — the ONE Spark-side
+    construction shared by ``dedup.shingles`` and ``repetition_scores``
+    (their DuckDB oracle mirrors must all match this exact shape: for
+    fewer than n tokens it emits one truncated gram, never zero)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+    )
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, n_distinct_tokens) — whitespace tokenization
     (reference tiktoken counting analog, utilityFunctions.py:625-629, with
@@ -111,10 +122,7 @@ def repetition_scores(docs: DataFrame, n: int = 2) -> DataFrame:
     is correctly rounded identically on every engine, and floor of it never
     sits on a representability boundary unless the quotient is exact —
     where both engines hold the same exact double."""
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
-    )
+    grams = _ngrams(F.col("w"), n)
     per_gram = (
         docs.select("doc_id", _tokens(F.col("text")).alias("w"))
         .select("doc_id", F.explode(grams).alias("g"))

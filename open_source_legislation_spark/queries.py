@@ -32,6 +32,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scaled_bigint(col, scale: int = 100):
+    """Float-free hashed payload: nearest integer of ``col × scale`` as
+    BIGINT. Every aggregate that would otherwise put a raw double into a
+    driver-hashed result goes through this (window_session sat red two
+    rounds on driver-side float normalization; integers survive any
+    normalization). The DuckDB oracle mirror is
+    ``CAST(round(expr * scale, 0) AS BIGINT)``; sums feed a
+    ``DECIMAL(18,6)`` cast first so accumulation is order-exact."""
+    return F.round(col * scale, 0).cast("bigint")
+
+
 # ---------------------------------------------------------------------------
 # SURVEY §2 operators over the TPC-H-ish tables
 # ---------------------------------------------------------------------------
@@ -826,20 +837,12 @@ def q_sort_paragraph_index(spark, sf_dir):
     # Quantities are hashed as integer cents so the driver compare never
     # sees a raw double (the window_session normalization-failure class).
     return li.groupBy("l_orderkey").agg(
-        F.round(
+        _scaled_bigint(
             F.min(F.struct("l_linenumber", "l_quantity")).getField("l_quantity")
-            * 100,
-            0,
-        )
-        .cast("bigint")
-        .alias("first_qty"),
-        F.round(
+        ).alias("first_qty"),
+        _scaled_bigint(
             F.max(F.struct("l_linenumber", "l_quantity")).getField("l_quantity")
-            * 100,
-            0,
-        )
-        .cast("bigint")
-        .alias("last_qty"),
+        ).alias("last_qty"),
         F.count("*").alias("n_lines"),
     )
 
@@ -882,9 +885,9 @@ def q_agg_total_rows(spark, sf_dir):
     # window_session normalization-failure class)
     per_batch = o.groupBy((F.col("o_orderkey") % 8).alias("batch")).agg(
         F.count("*").alias("n_rows"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")) * 100, 0)
-        .cast("bigint")
-        .alias("sum_price"),
+        _scaled_bigint(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        ).alias("sum_price"),
     )
     w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
     return per_batch.select(
@@ -948,12 +951,8 @@ def q_agg_percentile(spark, sf_dir):
     # and rounding to a bigint makes the hashed payload float-free (the
     # window_session normalization-failure class) without losing precision.
     return e.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)") * 10000, 0)
-        .cast("bigint")
-        .alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)") * 10000, 0)
-        .cast("bigint")
-        .alias("p90"),
+        _scaled_bigint(F.expr("percentile(value, 0.5)"), 10000).alias("p50"),
+        _scaled_bigint(F.expr("percentile(value, 0.9)"), 10000).alias("p90"),
         F.count("*").alias("n"),
     )
 
@@ -1035,7 +1034,7 @@ def q_stream_sessionize(spark, sf_dir):
         "session_start",
         "session_end",
         "n_events",
-        F.round(F.col("session_value") * 100, 0).cast("long").alias("session_cents"),
+        _scaled_bigint(F.col("session_value")).alias("session_cents"),
     )
 
 
@@ -1265,9 +1264,9 @@ def q_snk_upsert_merge(spark, sf_dir):
     merged = spark.read.parquet(f"{out_dir}/cust")
     return merged.groupBy("seg").agg(
         F.count("*").alias("n_rows"),
-        F.round(F.sum(F.col("bal").cast("decimal(18,6)")) * 100, 0)
-        .cast("bigint")
-        .alias("bal_cents"),
+        _scaled_bigint(
+            F.sum(F.col("bal").cast("decimal(18,6)"))
+        ).alias("bal_cents"),
     )
 
 
@@ -1523,9 +1522,10 @@ _JACCARD_CTE = """
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
 ), sh AS (
-  SELECT doc_id, unnest(list_distinct(
-    [array_to_string(w[i:i+2], ' ') FOR i IN range(1, greatest(len(w)-1, 1))]
-  )) AS shingle
+  SELECT doc_id, unnest(list_distinct(list_filter(
+    [array_to_string(w[i:i+2], ' ') FOR i IN range(1, greatest(len(w)-1, 2))],
+    s -> length(s) > 0
+  ))) AS shingle
   FROM toks
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
@@ -1591,9 +1591,10 @@ def _minhash_sql(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> 
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
 ), sh AS (
-  SELECT doc_id, unnest(list_distinct(
-    [array_to_string(w[i:i+2], ' ') FOR i IN range(1, greatest(len(w)-1, 1))]
-  )) AS shingle
+  SELECT doc_id, unnest(list_distinct(list_filter(
+    [array_to_string(w[i:i+2], ' ') FOR i IN range(1, greatest(len(w)-1, 2))],
+    s -> length(s) > 0
+  ))) AS shingle
   FROM toks
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
@@ -2253,10 +2254,11 @@ ORACLE_SQL: dict[str, str] = {
           SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
           FROM documents
         ), sh AS (
-          SELECT doc_id, unnest(list_distinct(
+          SELECT doc_id, unnest(list_distinct(list_filter(
             [array_to_string(w[i:i+2], ' ')
-             FOR i IN range(1, greatest(len(w)-1, 1))]
-          )) AS shingle
+             FOR i IN range(1, greatest(len(w)-1, 2))],
+            s -> length(s) > 0
+          ))) AS shingle
           FROM toks
         ), split AS (
           SELECT doc_id,

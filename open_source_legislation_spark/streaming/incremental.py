@@ -44,6 +44,8 @@ def tumbling_window_agg(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
+            # same float-free payload shape as queries._scaled_bigint (not
+            # imported: queries depends on this module)
             F.round(F.sum(F.col("value").cast("decimal(18,6)")) * 100, 0)
             .cast("long")
             .alias("cents"),
