@@ -153,13 +153,19 @@ def node_enrich_udf(dim: int = 16):
         return b
 
     def _one(t: str | None) -> dict:
+        # ONE regex pass over the (long) text serves both outputs:
+        # n_tokens counts the raw split (JVM split of '' yields [''] → 1),
+        # the embedding consumes the empty-filtered tokens — identical to
+        # _ascii_tokens(t) by construction (same regex, same strip/lower).
+        # strip(' '): JVM trim removes only 0x20, not \n\t — match exactly.
+        parts = ws.split((t or "").strip(" ").lower())
         counts = [0] * dim
-        for tok in _ascii_tokens(t):
-            counts[_bucket(tok)] += 1
+        for tok in parts:
+            if tok:
+                counts[_bucket(tok)] += 1
         norm = math.sqrt(sum(c * c for c in counts)) or 1.0
         emb = [math.floor(c / norm * 10000) / 10000 for c in counts]
-        # strip(' '): JVM trim removes only 0x20, not \n\t — match exactly
-        n = None if t is None else len(ws.split(t.strip(" ").lower()))
+        n = None if t is None else len(parts)
         return {"n_tokens": n, "embedding": emb}
 
     @F.pandas_udf(_NODE_ENRICH_OUT)
