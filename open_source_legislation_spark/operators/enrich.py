@@ -115,6 +115,24 @@ def hash_embed_udf(dim: int = 16):
     return _embed
 
 
+def quantize_embeddings(vecs: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(…, q8: array<int>, scale: double) — symmetric int8 quantization:
+    q_i = floor(x_i / max|x| × 127), the standard ANN-index compression
+    step (4× smaller vectors; dot products in int arithmetic). Pure JVM
+    expressions; every operand is forced to DOUBLE first so float32→float64
+    widening (exact) happens before any arithmetic and a SQL oracle
+    reproduces each lane bit-for-bit — floor, not round, because the
+    quotient can land on exact .5 where engine rounding modes differ.
+    All-zero vectors quantize to zeros (scale 0 guard)."""
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+    q = F.when(
+        scale > 0,
+        F.transform(xd, lambda x: F.floor(x / scale * 127).cast("int")),
+    ).otherwise(F.transform(xd, lambda x: F.lit(0)))
+    return vecs.withColumn("q8", q).withColumn("scale", scale)
+
+
 _NODE_ENRICH_OUT = T.StructType(
     [
         T.StructField("n_tokens", T.IntegerType()),

@@ -712,6 +712,24 @@ def q_ta_redact(spark, sf_dir):
     return text_analysis.redact_pii(with_pii)
 
 
+def q_enrich_quantize(spark, sf_dir):
+    """int8 embedding quantization (operators/enrich.py
+    quantize_embeddings) — the ANN-index compression step, exposed as a
+    comma-joined lane string plus a floor-micro scale so the hashed payload
+    is float-free."""
+    from .operators import enrich
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = enrich.quantize_embeddings(e)
+    return out.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform(F.col("q8"), lambda v: v.cast("string"))
+        ).alias("q8"),
+        F.floor(F.col("scale") * 1000000).cast("bigint").alias("scale_micro"),
+    )
+
+
 def q_smp_decontaminate(spark, sf_dir):
     """Eval-set decontamination (operators/sampling.py decontaminate):
     per eval document, the count of its distinct 3-gram shingles that also
@@ -1406,6 +1424,7 @@ NEVER_DRIVER_VERIFIED: list[str] = [
     "ta_repetition",  # new in r3 (Gopher-style repetition permille)
     "ta_redact",  # new in r3 (e-mail PII redaction)
     "smp_decontaminate",  # new in r3 (eval-set n-gram decontamination)
+    "enrich_quantize",  # new in r3 (int8 embedding quantization)
     "src_toc_file",
     "stream_sessionize",
     "sim_ivf_build",
@@ -1449,6 +1468,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ta_repetition": q_ta_repetition,
     "ta_redact": q_ta_redact,
     "smp_decontaminate": q_smp_decontaminate,
+    "enrich_quantize": q_enrich_quantize,
     "src_toc_file": q_src_toc_file,
     "stream_sessionize": q_stream_sessionize,
     "sim_ivf_build": q_sim_ivf_build,
@@ -2248,6 +2268,23 @@ ORACLE_SQL: dict[str, str] = {
                CAST(len(regexp_extract_all(text,
                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS INT) AS n_redacted
         FROM pii
+    """,
+    "enrich_quantize": """
+        WITH t AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+          FROM embeddings
+        ), s AS (
+          SELECT vec_id, xd,
+                 list_max(list_transform(xd, x -> abs(x))) AS scale
+          FROM t
+        )
+        SELECT vec_id,
+               array_to_string(list_transform(xd, x ->
+                 CAST(CASE WHEN scale > 0 THEN floor(x / scale * 127)
+                           ELSE 0 END AS INT)), ',') AS q8,
+               CAST(floor(scale * 1000000) AS BIGINT) AS scale_micro
+        FROM s
     """,
     "smp_decontaminate": """
         WITH toks AS (
