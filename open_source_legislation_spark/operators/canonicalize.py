@@ -7,13 +7,18 @@ ways (version tags ``scrapingHelpers.py:94-98``, link normalization
 **union-find connected components**; here it is the standard iterative
 min-label propagation as a DataFrame loop (no GraphFrames dependency):
 
-    label(v) ← min(label(v), min over neighbors' label(u))
+    label(v) ← min(label(v), min over neighbors' label(u))   # 1 hop/round
+    label(v) ← label(label(v))                               # pointer jump
 
-repeated until fixpoint. Converges in O(diameter) rounds; each round is one
-shuffle join + one aggregation. ``localCheckpoint`` truncates the lineage so
-the plan does not grow across iterations (critical for long chains at scale).
-For web-scale graphs the same loop is the large-star/small-star building
-block; alias graphs here have tiny diameter (version chains, link cycles).
+repeated until fixpoint. The neighbor-min step alone needs O(diameter)
+rounds — a silent-wrong-answer cliff once a component's diameter exceeds
+the iteration cap; composing each round with one pointer-jump
+(path-halving) self-join makes label distances collapse geometrically, so
+convergence is O(log diameter) rounds (25 rounds cover any practical
+graph) — the same doubling idea large-star/small-star uses. Each round is
+two shuffle joins + one aggregation; ``localCheckpoint`` truncates the
+lineage so the plan does not grow across iterations. A component left
+unconverged at the cap raises instead of returning wrong labels.
 """
 
 from __future__ import annotations
@@ -44,27 +49,44 @@ def connected_components(edges: DataFrame, max_iterations: int = 25) -> DataFram
             .groupBy(F.col("a").alias("member"))
             .agg(F.min("canonical").alias("nbr_min"))
         )
+        propagated = labels.join(neighbor_min, "member", "left").select(
+            "member",
+            F.least(
+                F.col("canonical"), F.coalesce("nbr_min", "canonical")
+            ).alias("canonical"),
+        )
+        # pointer jump: canonical ← canonical's canonical. Every canonical
+        # value is itself a member (labels are seeded with all members and
+        # only ever take existing labels), so the self-join always resolves;
+        # this is what turns O(diameter) rounds into O(log diameter).
+        jump = propagated.select(
+            F.col("member").alias("_jm"), F.col("canonical").alias("_jc")
+        )
         new_labels = (
-            labels.join(neighbor_min, "member", "left")
+            propagated.join(jump, propagated["canonical"] == jump["_jm"], "left")
             .select(
                 "member",
-                F.least(
-                    F.col("canonical"), F.coalesce("nbr_min", "canonical")
-                ).alias("canonical"),
-                (F.coalesce("nbr_min", "canonical") < F.col("canonical")).alias(
-                    "_changed"
-                ),
+                F.coalesce("_jc", "canonical").alias("canonical"),
             )
         )
         # checkpoint each round: the convergence check materializes the
         # frame anyway, and this truncates the growing join lineage
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter("_changed").limit(1).count()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "member")
+            .filter(F.col("n.canonical") != F.col("o.canonical"))
+            .limit(1)
+            .count()
+        )
         _ = i
-        labels = new_labels.drop("_changed")
+        labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds "
+        "(component diameter beyond 2^rounds — raise max_iterations)"
+    )
 
 
 def alias_of_triples(labels: DataFrame) -> DataFrame:

@@ -28,6 +28,23 @@ def test_cc_handles_chain_and_cycle(spark):
     assert {labels[v] for v in "pqr"} == {"p"}
 
 
+def test_cc_converges_on_deep_chains(spark):
+    """Regression: pure min-label propagation moves labels one hop per
+    round, so a component whose diameter exceeds max_iterations used to
+    return silently WRONG labels (60-chain → 34 bad). The pointer-jump
+    round makes convergence logarithmic — a 200-chain must label fully."""
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(199)],
+        "src string, dst string",
+    )
+    labels = {
+        r["member"]: r["canonical"]
+        for r in canonicalize.connected_components(edges).collect()
+    }
+    assert len(labels) == 200
+    assert set(labels.values()) == {"n000"}
+
+
 def test_alias_of_triples_exclude_canonical(spark, alias_edges_df):
     labels = canonicalize.connected_components(alias_edges_df)
     triples = canonicalize.alias_of_triples(labels)
