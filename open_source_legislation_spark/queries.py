@@ -552,11 +552,10 @@ def q_window_session(spark, sf_dir):
             F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
         )
     )
-    # float-free hashed payload (round-3): the value layer was bit-exact vs
-    # DuckDB two rounds running yet the driver row stayed red, pointing at a
-    # driver-environment float normalization — so no doubles ever reach the
-    # hash. The session total is integer CENTS: exact decimal sum × 100,
-    # rounded (still in decimal arithmetic), emitted as BIGINT on both sides.
+    # Integer-cents payload; the three-round driver red on this query was
+    # NOT the payload — it was the oracle's uncast windowed sum(new_sess)
+    # (DuckDB HUGEINT → float64 under the driver's pandas conversion).
+    # scripts/audit_oracle_types.py now guards every oracle against that.
     return sess.groupBy("user_id", "session_no").agg(
         F.count("*").alias("n_events"),
         F.round(F.sum(F.col("value").cast("decimal(18,6)")) * 100, 0)
@@ -1867,9 +1866,12 @@ ORACLE_SQL: dict[str, str] = {
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sess AS (
+          -- CAST is load-bearing: DuckDB sum(int) is HUGEINT, which the
+          -- driver's pandas conversion renders as float64 ("3.000000" vs
+          -- Spark's "3") — the sole cause of three rounds of hash-red here
           SELECT user_id, value,
-                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                     ROWS UNBOUNDED PRECEDING) AS session_no
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
           FROM flagged
         )
         SELECT user_id, session_no, count(*) AS n_events,
@@ -2138,8 +2140,11 @@ ORACLE_SQL: dict[str, str] = {
             FROM orders GROUP BY o_orderkey % 8
         )
         SELECT batch, n_rows, sum_price,
-               sum(n_rows) OVER (ORDER BY batch
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows
+               -- CAST is load-bearing: HUGEINT → float64 under the driver's
+               -- pandas conversion (see window_session note)
+               CAST(sum(n_rows) OVER (ORDER BY batch
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_rows
         FROM per_batch
     """,
     "src_toc_file": """

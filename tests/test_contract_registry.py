@@ -47,3 +47,29 @@ def test_unverified_queries_sit_inside_driver_window():
         f"queries without a green driver row sit past position "
         f"{DRIVER_WINDOW} and will never be checked: {evicted}"
     )
+
+
+def test_no_oracle_output_column_is_hugeint():
+    """DuckDB ``sum()`` over integers yields HUGEINT; the driver's pandas
+    conversion renders HUGEINT as float64, so a Spark BIGINT ``3`` and an
+    oracle ``3.000000`` hash-mismatch *only in the driver environment*
+    (the sole cause of window_session's three-round red). Every oracle
+    output column must DESCRIBE to a non-HUGEINT type."""
+    import duckdb
+
+    con = duckdb.connect()
+    sf_dir = "/root/testdata/sf0.001"
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    hazards = {}
+    for name, sql in ORACLE_SQL.items():
+        desc = con.sql(f"DESCRIBE ({sql})").fetchall()
+        bad = [(c, ty) for c, ty, *_ in desc if "HUGEINT" in ty.upper()]
+        if bad:
+            hazards[name] = bad
+    assert not hazards, f"HUGEINT-typed oracle outputs (driver float64 trap): {hazards}"
