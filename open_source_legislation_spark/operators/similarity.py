@@ -100,7 +100,10 @@ def topk_cosine_ivf(
 
 
 def ivf_build(
-    embeddings: DataFrame, k: int = 8, iters: int = 3
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    train_fraction: float | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Deterministic IVF coarse quantizer: Lloyd k-means over the embedding
     column, returning ``(assignments, centroids)`` where assignments is
@@ -116,21 +119,37 @@ def ivf_build(
       mean — Catalyst partial-aggregates map-side, so the shuffle is
       O(k·d·partitions), not O(n·d);
     - the loop is driver-side over a FIXED iteration count; each round's
-      centroids are a tiny collect (k rows), so no lineage blowup.
+      centroids are a tiny collect (k rows), so no lineage blowup;
+    - the training frame is persisted across the loop (one input scan
+      instead of 2×/iteration).
 
-    At 10^12 rows you'd sample the training set for the build (standard
-    IVF practice) and assign the full corpus once with the final centroids.
+    ``train_fraction``: the 10^12-row mode — Lloyd trains on a seeded
+    deterministic sample (standard IVF practice: the quantizer only needs
+    a distribution estimate) and the FULL corpus is assigned exactly once
+    with the final centroids. ``None`` trains on everything (small inputs,
+    exact-oracle parity).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
+    from pyspark import StorageLevel
 
     base = embeddings.filter(F.col("embedding").isNotNull())
+    train = (
+        base.sample(fraction=train_fraction, seed=7)
+        if train_fraction is not None
+        else base
+    )
+    # one scan: the Lloyd loop re-reads `train` twice per iteration
+    # (assignment + mean update); at index-build scale the sample fits
+    # executor storage, and the full corpus is never persisted
+    train.persist(StorageLevel.MEMORY_AND_DISK)
     cents = [
         list(map(float, r.embedding))
-        for r in base.orderBy("vec_id").limit(k).collect()
+        for r in train.orderBy("vec_id").limit(k).collect()
     ]
     if not cents:
+        train.unpersist()
         raise ValueError("ivf_build: no non-null embeddings to index")
     # fewer vectors than requested cells: index what exists
     k = min(k, len(cents))
@@ -156,7 +175,7 @@ def ivf_build(
         return assign
 
     for _ in range(iters):
-        assigned = base.mapInPandas(assigner(cents), schema=out_schema)
+        assigned = train.mapInPandas(assigner(cents), schema=out_schema)
         new_cents = (
             assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -174,6 +193,7 @@ def ivf_build(
         # empty cells keep their previous centroid (deterministic)
         cents = [by_cell.get(j, cents[j]) for j in range(k)]
 
+    train.unpersist()
     return base.mapInPandas(assigner(cents), schema=out_schema), cents
 
 

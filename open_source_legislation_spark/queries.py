@@ -1095,10 +1095,10 @@ def q_stream_window_agg(spark, sf_dir):
 
 def q_sim_ivf_build(spark, sf_dir):
     """IVF index BUILD (deterministic Lloyd k-means, similarity.ivf_build)
-    — cell-size histogram of the built index. No SQL oracle: iterative
-    k-means is not reasonably DuckDB-expressible, so the driver records the
-    rows-only check; the exact-vs-numpy equivalence is pinned by
-    tests/test_ivf.py."""
+    — cell-size histogram of the built index. The oracle replicates the
+    deterministic Lloyd loop in numpy at registration time and embeds the
+    final centroids as SQL literals (``_ivf_oracle_sql``); the Spark-vs-
+    numpy training equivalence is pinned by tests/test_ivf.py."""
     assigned, _ = similarity.ivf_build(
         _t(spark, sf_dir, "embeddings"), k=8, iters=2
     )
@@ -1391,7 +1391,7 @@ def q_join_defs_closure(spark, sf_dir):
 # Queries with NO SQL oracle by design (the driver records a rows-only
 # check): genuinely non-SQL-expressible ops. Everything else MUST have an
 # ORACLE_SQL entry — pinned by tests/test_contract_registry.py.
-ROWS_ONLY: set[str] = {"sim_ivf_build"}
+ROWS_ONLY: set[str] = set()
 
 # The driver's correctness gate checks exactly this many leading dict
 # entries per round.
@@ -1570,6 +1570,72 @@ WITH toks AS (
   JOIN sizes sb ON sb.doc_id = doc_b
 )
 """
+
+
+def _ivf_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01", k: int = 8, iters: int = 2
+) -> str:
+    """DuckDB oracle for ``sim_ivf_build``, the `_ann_lsh_sql` pattern
+    extended to a data-DEPENDENT model: replicate the deterministic Lloyd
+    loop (init = k smallest vec_id, expanded-form L2 argmin assignment,
+    per-cell mean update, empty cells keep their centroid) in numpy over
+    the driver's gate-scale parquet at registration time, then embed the
+    FINAL centroids as SQL literals so the oracle itself computes each
+    vector's argmin-distance cell and aggregates the histogram.
+
+    Valid at the driver's gate scale (sf0.01) only — the centroids are a
+    trained model, so a different input yields a different model. The
+    Spark-vs-numpy training equivalence is separately pinned by
+    tests/test_ivf.py; argmin ties break to the first (lowest) cell on
+    both sides (np.argmin / list_indexof-of-min).
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(tbl["vec_id"].to_pylist())
+    V_all = tbl["embedding"].to_pylist()
+    keep = np.array([v is not None for v in V_all])
+    ids = ids[keep]
+    V = np.array([v for v in V_all if v is not None], dtype=np.float64)
+    order = np.argsort(ids)
+    kk = min(k, len(ids))
+    C = V[order[:kk]].copy()
+
+    def _d2(V, C):
+        return (V * V).sum(1)[:, None] - 2.0 * (V @ C.T) + (C * C).sum(1)[None, :]
+
+    for _ in range(iters):
+        cell = np.argmin(_d2(V, C), axis=1)
+        for j in range(kk):
+            if (cell == j).any():
+                C[j] = V[cell == j].mean(axis=0)
+
+    def _dot(c):
+        lits = ", ".join(repr(float(x)) for x in c)
+        return (
+            f"list_sum(list_transform(list_zip(embedding, [{lits}]), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        )
+
+    d2_exprs = ",\n               ".join(
+        f"vv - 2.0 * {_dot(c)} + {float((c * c).sum())!r}" for c in C
+    )
+    return f"""
+        WITH base AS (
+          SELECT vec_id, embedding,
+                 list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS vv
+          FROM embeddings WHERE embedding IS NOT NULL
+        ), d AS (
+          SELECT vec_id,
+               [{d2_exprs}] AS d2
+          FROM base
+        )
+        SELECT CAST(list_indexof(d2, list_min(d2)) - 1 AS INTEGER) AS cell,
+               count(*) AS n_vecs
+        FROM d GROUP BY 1
+    """
 
 
 def _ann_lsh_sql(n_planes: int = 4, dim: int = 64, threshold: float = 0.30) -> str:
@@ -1970,6 +2036,7 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY cos DESC, b.vec_id LIMIT 10
     """,
     "sim_ann_lsh": _ann_lsh_sql().format(cos=_COS_EXPR),
+    "sim_ivf_build": _ivf_oracle_sql(),
     "ta_tokens": """
         SELECT doc_id,
                len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,

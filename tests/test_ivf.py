@@ -58,6 +58,20 @@ def test_ivf_build_matches_numpy_reference(spark, vecs):
         assert all(j % 3 == i % 3 for j in same)
 
 
+def test_ivf_sample_train_assigns_full_corpus(spark, vecs):
+    """10^12-row mode: Lloyd trains on a seeded sample but the FULL corpus
+    is assigned exactly once — every row gets a valid cell, deterministically
+    across invocations."""
+    df = spark.createDataFrame(vecs, schema=EMB_SCHEMA)
+    a1, c1 = similarity.ivf_build(df, k=3, iters=3, train_fraction=0.5)
+    a2, c2 = similarity.ivf_build(df, k=3, iters=3, train_fraction=0.5)
+    got1 = {r.vec_id: r.cell for r in a1.collect()}
+    got2 = {r.vec_id: r.cell for r in a2.collect()}
+    assert len(got1) == len(vecs)          # full corpus assigned
+    assert got1 == got2 and c1 == c2       # seeded sample → deterministic
+    assert set(got1.values()) <= {0, 1, 2}
+
+
 def test_ivf_built_topk(spark, vecs):
     df = spark.createDataFrame(vecs, schema=EMB_SCHEMA)
     top = similarity.topk_cosine_ivf_built(df, query_vec_id=0, k_cells=3, top_k=5)
