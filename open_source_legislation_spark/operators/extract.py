@@ -427,34 +427,18 @@ def _ffill_object(a: "np.ndarray") -> "np.ndarray":
     return a[idx]
 
 
-def derive_nodes_stream(
-    transcripts: DataFrame, num_partitions: int | None = None
-) -> DataFrame:
-    """Streaming derive — the scale path.
+_SHARD_STATE = "__SHARD_STATE__"
 
-    ``payload UDF (pre-shuffle, balanced) → repartition(hash(conv_id)) →
-    sortWithinPartitions(conv_id, turn_idx, ts, md5(text)) → mapInPandas(state
-    kernel)``: ONE exchange, ONE JVM sort, ONE balanced Arrow pass plus a
-    near-free sequential pass. The state kernel walks each sorted partition
-    with a running parent stack (the reference's per-document cursor,
-    scrapeCA.py:150-221), first-writer-wins turn dedup
-    (scrapingHelpers.py:110-114), duplicate-id versioning
-    (scrapingHelpers.py:61-115), and definitions-scope tracking
-    (scrapeECFR.py:530-560) — all vectorized over numpy except the stack
-    walk, which touches only hierarchy-marker rows. State carries across
-    Arrow batches inside a partition, so hot conversations cost O(stack
-    depth) memory and ~µs/row time.
 
-    Produces the same frame as :func:`derive_nodes` (windows engine); the
-    equivalence of the two engines is itself a test invariant.
+def _prepped_payload(transcripts: DataFrame, num_partitions: int | None) -> DataFrame:
+    """Shared prologue of the streaming engines: ``payload UDF (pre-shuffle,
+    balanced) → repartition(hash(conv_id)) → sortWithinPartitions(conv_id,
+    turn_idx, ts, md5(text))`` → project the Arrow-hop columns.
+
+    Raw text never crosses the shuffle: the dedup tie-break is md5(text)
+    (32 B, matches the oracle), and everything downstream consumes
+    clean_text + the extraction payload computed pre-shuffle.
     """
-    from collections.abc import Iterator
-
-    import numpy as np
-
-    # raw text never crosses the shuffle: the dedup tie-break is md5(text)
-    # (32 B, matches the oracle), and everything downstream consumes
-    # clean_text + the extraction payload computed pre-shuffle
     df = transcripts.select(
         "conv_id",
         "turn_idx",
@@ -468,7 +452,7 @@ def derive_nodes_stream(
         df = df.repartition("conv_id")
     df = df.sortWithinPartitions("conv_id", "turn_idx", "ts", "_tb")
     # project away the sort-only columns (ts, md5) before the Arrow hop
-    df = df.select(
+    return df.select(
         "conv_id",
         "turn_idx",
         F.col("feat.clean_text").alias("clean_text"),
@@ -479,7 +463,28 @@ def derive_nodes_stream(
         F.col("feat.extractions").alias("extractions"),
     )
 
+
+def _make_state_kernel(
+    entry_states: dict | None = None, emit_exit_state: bool = False
+):
+    """Build the sorted-partition state kernel (see
+    :func:`derive_nodes_stream` for semantics).
+
+    ``entry_states`` seeds a conversation's boundary state at its first row
+    in the partition — the conv-sharding stitch: ``{conv_id: {"turn", "ord",
+    "current", "defs", "stack", "counts"}}`` carried from the previous
+    ``(conv_id, turn_range)`` shard. ``emit_exit_state`` appends one
+    sentinel row per conversation (``node_id == _SHARD_STATE``, state JSON
+    in ``clean_text``) so the driver loop can collect the exit states that
+    seed the next shard.
+    """
+    import json
+    from collections.abc import Iterator
+
+    import numpy as np
     import pyarrow as pa
+
+    entry_states = entry_states or {}
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         ranks = rules.LEVEL_RANKS
@@ -492,15 +497,22 @@ def derive_nodes_stream(
         stack: list[tuple[int, str]] = []
         id_counts: dict[str, int] = {}
         stack_conv: str | None = None
+        # exit-state bookkeeping (sharded mode only)
+        exit_meta: dict[str, dict] = {}
+        stack_snap: dict[str, tuple[list, dict]] = {}
+        ext_type = None
 
         for batch in batches:
             if batch.num_rows == 0:
                 continue
+            ext_type = batch.schema.field("extractions").type
             names = batch.schema.names
             col = {n: batch.column(i) for i, n in enumerate(names)}
             conv = np.asarray(col["conv_id"].to_pylist(), dtype=object)
             turn = col["turn_idx"].to_numpy(zero_copy_only=False)
             # first-writer-wins dedup: equal-turn runs keep only the first
+            # (a duplicated turn never straddles shards: equal turn_idx →
+            # equal turn-range bucket)
             prev_conv = np.concatenate(([carry_conv], conv[:-1]))
             prev_turn = np.concatenate(([carry_turn], turn[:-1]))
             keep = (conv != prev_conv) | (turn != prev_turn)
@@ -515,9 +527,21 @@ def derive_nodes_stream(
 
             start = conv != np.concatenate(([carry_conv], conv[:-1]))
             pos = np.arange(m)
-            # stable ordinal: restart at conv starts, else continue carry
+            # stable ordinal: restart at conv starts, else continue carry;
+            # a seeded conv's ordinals continue from the previous shard
             last_start = np.maximum.accumulate(np.where(start, pos, -1))
-            ords = np.where(last_start >= 0, pos - last_start + 1, pos + carry_ord + 1)
+            base = np.zeros(m, dtype=np.int64)
+            if entry_states:
+                for i in np.flatnonzero(start):
+                    e = entry_states.get(conv[i])
+                    if e is not None:
+                        base[i] = e["ord"]
+            safe_ls = np.maximum(last_start, 0)
+            ords = np.where(
+                last_start >= 0,
+                pos - safe_ls + 1 + base[safe_ls],
+                pos + carry_ord + 1,
+            )
 
             cls = np.asarray(col["classifier"].to_pylist(), dtype=object)
             num = np.asarray(col["number"].to_pylist(), dtype=object)
@@ -535,8 +559,15 @@ def derive_nodes_stream(
             for i in np.flatnonzero(hier_mask):
                 c = conv[i]
                 if c != stack_conv:
-                    stack = []
-                    id_counts = {}
+                    if emit_exit_state and stack_conv is not None:
+                        stack_snap[stack_conv] = (list(stack), dict(id_counts))
+                    seed = entry_states.get(c)
+                    if seed is not None:
+                        stack = [(int(r_), s_) for r_, s_ in seed["stack"]]
+                        id_counts = dict(seed["counts"])
+                    else:
+                        stack = []
+                        id_counts = {}
                     stack_conv = c
                 rank = ranks[cls[i]]
                 while stack and stack[-1][0] >= rank:
@@ -553,14 +584,20 @@ def derive_nodes_stream(
                 current[i] = nid
 
             # definitions scope: headers open it, hierarchy nodes close it,
-            # conv starts reset it
+            # conv starts reset it (or continue the previous shard's scope)
             defs_v[hier_mask] = False
             hdr = col["defs_header"].to_numpy(zero_copy_only=False).astype(bool)
             defs_v[hdr & ~hier_mask] = True
-            defs_v[start & (defs_v == None)] = False  # noqa: E711
-            # current-node scope: conv starts seed the root id
+            for i in np.flatnonzero(start & (defs_v == None)):  # noqa: E711
+                e = entry_states.get(conv[i])
+                defs_v[i] = bool(e["defs"]) if e is not None else False
+            # current-node scope: conv starts seed the root id (or the
+            # previous shard's open node)
             for i in np.flatnonzero(start & (current == None)):  # noqa: E711
-                current[i] = "conv=" + conv[i]
+                e = entry_states.get(conv[i])
+                current[i] = (
+                    e["current"] if e is not None else "conv=" + conv[i]
+                )
             # batch-boundary continuation seeds
             if not start[0]:
                 if current[0] is None:
@@ -575,6 +612,17 @@ def derive_nodes_stream(
             carry_ord = int(ords[-1])
             carry_current = current[-1]
             carry_defs = bool(defs_filled[-1])
+
+            if emit_exit_state:
+                # one run end per conversation per batch — few rows
+                end_mask = np.append(start[1:], True)
+                for j in np.flatnonzero(end_mask):
+                    exit_meta[conv[j]] = {
+                        "turn": int(turn[j]),
+                        "ord": int(ords[j]),
+                        "current": current[j],
+                        "defs": bool(defs_filled[j]),
+                    }
 
             yield pa.RecordBatch.from_arrays(
                 [
@@ -595,9 +643,46 @@ def derive_nodes_stream(
                 names=[f.name for f in _DERIVED_SCHEMA.fields],
             )
 
-    out = df.mapInArrow(kernel, schema=_DERIVED_SCHEMA)
-    # drop the scope-dependent emphasized entry where the scope is closed
-    # (payload UDF extracted with scope open — see turn_payload_udf)
+        if emit_exit_state and exit_meta:
+            if stack_conv is not None:
+                stack_snap[stack_conv] = (list(stack), dict(id_counts))
+            cids, payloads = [], []
+            for c, meta in exit_meta.items():
+                snap = stack_snap.get(c)
+                if snap is None:
+                    e = entry_states.get(c)
+                    snap = (e["stack"], e["counts"]) if e is not None else ([], {})
+                payloads.append(
+                    json.dumps({**meta, "stack": snap[0], "counts": snap[1]})
+                )
+                cids.append(c)
+            n = len(cids)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cids, type=pa.string()),
+                    pa.array([-1] * n, type=pa.int32()),
+                    pa.array([-1] * n, type=pa.int32()),
+                    pa.array(payloads, type=pa.string()),
+                    pa.nulls(n, pa.string()),
+                    pa.nulls(n, pa.string()),
+                    pa.array([_SHARD_STATE] * n, type=pa.string()),
+                    pa.nulls(n, pa.string()),
+                    pa.nulls(n, pa.string()),
+                    pa.nulls(n, pa.string()),
+                    pa.nulls(n, pa.string()),
+                    pa.nulls(n, pa.bool_()),
+                    pa.nulls(n, ext_type),
+                ],
+                names=[f.name for f in _DERIVED_SCHEMA.fields],
+            )
+
+    return kernel
+
+
+def _emphasized_fixup(out: DataFrame) -> DataFrame:
+    """Drop the scope-dependent emphasized definition where the scope is
+    closed (the payload UDF extracts with scope OPEN — see
+    ``turn_payload_udf``)."""
     return out.withColumn(
         "extractions",
         F.when(
@@ -612,6 +697,113 @@ def derive_nodes_stream(
             ),
         ),
     )
+
+
+def derive_nodes_stream(
+    transcripts: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Streaming derive — the scale path.
+
+    ``payload UDF (pre-shuffle, balanced) → repartition(hash(conv_id)) →
+    sortWithinPartitions(conv_id, turn_idx, ts, md5(text)) → mapInPandas(state
+    kernel)``: ONE exchange, ONE JVM sort, ONE balanced Arrow pass plus a
+    near-free sequential pass. The state kernel walks each sorted partition
+    with a running parent stack (the reference's per-document cursor,
+    scrapeCA.py:150-221), first-writer-wins turn dedup
+    (scrapingHelpers.py:110-114), duplicate-id versioning
+    (scrapingHelpers.py:61-115), and definitions-scope tracking
+    (scrapeECFR.py:530-560) — all vectorized over numpy except the stack
+    walk, which touches only hierarchy-marker rows. State carries across
+    Arrow batches inside a partition, so hot conversations cost O(stack
+    depth) memory and ~µs/row time.
+
+    Produces the same frame as :func:`derive_nodes` (windows engine); the
+    equivalence of the two engines is itself a test invariant. For a
+    conversation too long even for the ~µs/row sequential pass in one
+    task, :func:`derive_nodes_sharded` splits it across tasks on turn
+    ranges with stitched boundary state.
+    """
+    df = _prepped_payload(transcripts, num_partitions)
+    out = df.mapInArrow(_make_state_kernel(), schema=_DERIVED_SCHEMA)
+    return _emphasized_fixup(out)
+
+
+def derive_nodes_sharded(
+    transcripts: DataFrame,
+    shard_turns: int = 1_000_000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Skew escape hatch: :func:`derive_nodes_stream`, but a conversation
+    whose turn index reaches ``shard_turns`` is split into ``(conv_id,
+    turn_range)`` shards processed by DIFFERENT tasks, with the boundary
+    state (parent stack, id version counts, open node, defs scope, last
+    turn/ordinal) stitched across shards.
+
+    The per-turn state recurrence is inherently sequential, so the shards
+    of one conversation run in successive ROUNDS: round *s* derives every
+    oversized conversation's turns in ``[s·B, (s+1)·B)`` in parallel,
+    seeded with round *s−1*'s exit states (collected via ``_SHARD_STATE``
+    sentinel rows); normal-sized conversations take the single-pass kernel
+    untouched. Driver state is tiny per conversation — stack ≤ hierarchy
+    depth, id counts ≤ distinct hierarchy ids seen (hierarchy rows ≪
+    turns) — and only PATHOLOGICAL conversations (>10⁹ turns at the
+    default knob; here lowered only in tests) ever enter the loop, so the
+    round count stays single-digit. Output is bit-identical to the
+    unsharded engine (pinned by tests/test_engines_equivalent.py).
+
+    A duplicated turn_idx never straddles shards (equal index → equal
+    bucket), so first-writer-wins dedup is shard-local.
+    """
+    import json
+
+    from pyspark import StorageLevel
+
+    mx = transcripts.groupBy("conv_id").agg(F.max("turn_idx").alias("_mx"))
+    big = mx.filter(F.col("_mx") >= shard_turns).select("conv_id")
+    big_ids = [r.conv_id for r in big.collect()]
+    if not big_ids:
+        return derive_nodes_stream(transcripts, num_partitions)
+
+    small = transcripts.join(F.broadcast(big), "conv_id", "left_anti")
+    bigt = transcripts.join(F.broadcast(big), "conv_id", "inner")
+    parts = [derive_nodes_stream(small, num_partitions)]
+
+    n_rounds = (
+        int(bigt.agg(F.max(F.floor(F.col("turn_idx") / shard_turns))).first()[0]) + 1
+    )
+    entry: dict[str, dict] = {}
+    for s in range(n_rounds):
+        shard = bigt.filter(
+            (F.col("turn_idx") >= s * shard_turns)
+            & (F.col("turn_idx") < (s + 1) * shard_turns)
+        )
+        raw = _prepped_payload(shard, num_partitions).mapInArrow(
+            _make_state_kernel(entry, emit_exit_state=True),
+            schema=_DERIVED_SCHEMA,
+        )
+        # one materialization per round: the exit-state collect and the
+        # final union must see the SAME pass (ids depend on walk state)
+        raw.persist(StorageLevel.DISK_ONLY)
+        exits = {
+            r["conv_id"]: json.loads(r["clean_text"])
+            for r in raw.filter(F.col("node_id") == _SHARD_STATE)
+            .select("conv_id", "clean_text")
+            .collect()
+        }
+        # a conv absent from this turn range keeps its prior entry state
+        entry = {**entry, **exits}
+        parts.append(
+            _emphasized_fixup(
+                raw.filter(
+                    F.col("node_id").isNull() | (F.col("node_id") != _SHARD_STATE)
+                )
+            )
+        )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def citation_expr(node_id_col) -> "F.Column":

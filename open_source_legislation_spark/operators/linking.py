@@ -82,15 +82,18 @@ def alias_index(entity_dict: DataFrame) -> DataFrame:
     return exploded.groupBy("alias_key").agg(F.min("entity_id").alias("entity_id"))
 
 
-def link_mentions(mentions: DataFrame, entity_dict: DataFrame) -> DataFrame:
-    """Attach ``entity_id`` (nullable) + ``link_priority`` to each mention.
+def _estimated_bytes(df: DataFrame) -> int | None:
+    """Catalyst's compile-time size estimate (what Spark's own
+    autoBroadcastJoinThreshold consults) — no job, no action."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — connect mode / API drift
+        return None
 
-    Misses stay as null entity_id rows — they become ``link_miss_rate``
-    metrics, never silent drops (reference tags failures instead of
-    retrying forever, ``3_process.py:51-56``).
-    """
-    idx = alias_index(entity_dict)
-    out = mentions.withColumn("_c", candidate_keys3_udf("raw_key"))
+
+def _link_broadcast(out: DataFrame, idx: DataFrame) -> DataFrame:
+    """Three map-side broadcast joins, zero exchanges of the mention
+    stream — the small-dictionary fast path."""
     for p in (1, 2, 3):
         idx_p = idx.select(
             F.col("alias_key").alias(f"_ak{p}"), F.col("entity_id").alias(f"_e{p}")
@@ -110,3 +113,86 @@ def link_mentions(mentions: DataFrame, entity_dict: DataFrame) -> DataFrame:
         )
         .drop("_c", "_e1", "_e2", "_e3")
     )
+
+
+def _link_shuffle(out: DataFrame, idx: DataFrame, orig: list[str]) -> DataFrame:
+    """Dictionary-too-big-to-broadcast path: melt the ladder to at most 3
+    ``(priority, key)`` rows per mention, ONE shuffle hash join against the
+    (alias_key-unique) index, regroup to the best-priority hit.
+
+    Exactly two exchanges of the (≤3×-melted) mention stream, independent
+    of dictionary size — vs a broadcast that would OOM executors. The
+    per-evaluation ``_mid`` row id lives only inside this single linear
+    lineage (melt and regroup recompute together), so it never needs to be
+    stable across actions.
+    """
+    cand = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("priority"),
+                    F.col("_c").getField(f"k{p}").alias("key"),
+                )
+                for p in (1, 2, 3)
+            ]
+        ),
+        lambda s: s.getField("key").isNotNull(),
+    )
+    melted = out.withColumn("_mid", F.monotonically_increasing_id()).select(
+        *orig, "_mid", F.explode_outer(cand).alias("_cand")
+    )
+    joined = melted.join(
+        idx.select(F.col("alias_key").alias("_ak"), F.col("entity_id").alias("_ent")),
+        melted["_cand"].getField("key") == F.col("_ak"),
+        "left",
+    )
+    won = joined.groupBy("_mid").agg(
+        *[F.first(c).alias(c) for c in orig],
+        F.min(
+            F.when(
+                F.col("_ent").isNotNull(),
+                F.struct(
+                    F.col("_cand").getField("priority").alias("p"),
+                    F.col("_ent").alias("e"),
+                ),
+            )
+        ).alias("_w"),
+    )
+    return won.select(
+        *orig,
+        F.col("_w").getField("e").alias("entity_id"),
+        F.col("_w").getField("p").alias("link_priority"),
+    )
+
+
+def link_mentions(
+    mentions: DataFrame,
+    entity_dict: DataFrame,
+    strategy: str = "auto",
+    broadcast_max_bytes: int = 1 << 30,
+) -> DataFrame:
+    """Attach ``entity_id`` (nullable) + ``link_priority`` to each mention.
+
+    Misses stay as null entity_id rows — they become ``link_miss_rate``
+    metrics, never silent drops (reference tags failures instead of
+    retrying forever, ``3_process.py:51-56``).
+
+    ``strategy``: ``"broadcast"`` forces the three-rung broadcast ladder;
+    ``"shuffle"`` forces the melted sort-merge fallback; ``"auto"``
+    (default) broadcasts unless Catalyst's size estimate for the alias
+    index exceeds ``broadcast_max_bytes`` (~1 GB — past that a broadcast
+    pins the whole dictionary into every executor and the driver).
+    """
+    if strategy not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"link_mentions: unknown strategy {strategy!r}")
+    idx = alias_index(entity_dict)
+    orig = mentions.columns
+    out = mentions.withColumn("_c", candidate_keys3_udf("raw_key"))
+    if strategy == "auto":
+        est = _estimated_bytes(idx)
+        strategy = (
+            "shuffle" if est is not None and est > broadcast_max_bytes else "broadcast"
+        )
+    if strategy == "broadcast":
+        return _link_broadcast(out, idx)
+    return _link_shuffle(out, idx, orig)

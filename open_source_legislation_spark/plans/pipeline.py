@@ -282,6 +282,7 @@ def run_pipeline(
     canonicalize_triples: bool = False,
     engine: str = "stream",
     spill: str = "parquet",
+    max_conv_turns: int | None = None,
 ) -> PipelineResult:
     """``engine="stream"`` (default): one exchange + one JVM sort + one
     Python pass (mapInPandas stack machine — extract.derive_nodes_stream);
@@ -300,9 +301,19 @@ def run_pipeline(
     rides the block manager). Call ``PipelineResult.cleanup()`` when done.
     """
     if engine == "stream":
-        derived = extract.derive_nodes_stream(
-            transcripts, num_partitions=num_partitions
-        )
+        # max_conv_turns: skew escape hatch — a conversation whose turn
+        # index reaches it is derived in (conv_id, turn_range) shards
+        # across tasks with stitched boundary state
+        if max_conv_turns is not None:
+            derived = extract.derive_nodes_sharded(
+                transcripts,
+                shard_turns=max_conv_turns,
+                num_partitions=num_partitions,
+            )
+        else:
+            derived = extract.derive_nodes_stream(
+                transcripts, num_partitions=num_partitions
+            )
     else:
         # clean=False: cleaning runs fused with the marker/defs-header parse
         # inside derive_nodes (one Arrow round-trip over the full text column)

@@ -53,6 +53,69 @@ def test_engines_equivalent_skewed_dups(spark, entity_dict_df):
     assert out["stream"][1] == out["windows"][1]
 
 
+def test_sharded_engine_equivalent_on_giant_conv(spark, entity_dict_df):
+    """One conversation ≫ shard size: the (conv_id, turn_range) sharded
+    engine — shards in different tasks, boundary state (stack, id counts,
+    open node, defs scope, ordinals) stitched across rounds — must be
+    bit-identical to the single-task kernel."""
+    from pyspark.sql import functions as F
+
+    from open_source_legislation_spark.operators import extract
+
+    # 45% of all turns in one conversation, duplicates included, with a
+    # shard size small enough that the hot conv spans many shards AND tiny
+    # Arrow batches so shards also span batch boundaries internally
+    pdf = synth.make_transcripts(
+        seed=31, n_turns_target=1200, hot_fraction=0.45, dup_fraction=0.06
+    )
+    tdf = spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "64")
+    try:
+        base = set(
+            map(
+                tuple,
+                extract.derive_nodes_stream(tdf, num_partitions=4)
+                .select(*_COLS)
+                .collect(),
+            )
+        )
+        sharded_df = extract.derive_nodes_sharded(
+            tdf, shard_turns=60, num_partitions=4
+        )
+        sharded = set(map(tuple, sharded_df.select(*_COLS).collect()))
+    finally:
+        spark.conf.set(key, old)
+    assert sharded == base
+    # the giant conv really was split: >1 turn-range bucket existed
+    hot = pdf.groupby("conv_id").size().idxmax()
+    assert pdf[pdf.conv_id == hot].turn_idx.max() >= 120
+    # no sentinel rows leak into the output
+    assert not any(r[4] == extract._SHARD_STATE for r in sharded)
+
+
+def test_sharded_engine_noop_below_knob(spark, entity_dict_df):
+    """No conversation reaches the knob → identical plan path (falls back
+    to the single-pass engine), identical output."""
+    from open_source_legislation_spark.operators import extract
+
+    pdf = synth.make_transcripts(seed=5, n_turns_target=400)
+    tdf = spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS)
+    base = set(
+        map(tuple, extract.derive_nodes_stream(tdf).select(*_COLS).collect())
+    )
+    sharded = set(
+        map(
+            tuple,
+            extract.derive_nodes_sharded(tdf, shard_turns=10_000_000)
+            .select(*_COLS)
+            .collect(),
+        )
+    )
+    assert sharded == base
+
+
 def test_stream_engine_partitioning_invariant(spark, entity_dict_df):
     """Output must not depend on the partition count (state stitching across
     Arrow batches and partition boundaries)."""

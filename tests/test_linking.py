@@ -57,6 +57,74 @@ def test_alias_index_first_writer_wins(spark):
     assert idx == {"k1": "ent-a"}
 
 
+_LADDER_KEYS = [
+    "cfr/title=40/part=105",  # exact alias hit
+    "usc/title=5/section=7",  # only zero-padded form in dict
+    "cfr/title=40/part=999",  # part unknown → pops to title
+    "nonsense/key=1",  # total miss
+]
+
+
+def test_shuffle_fallback_matches_broadcast(spark, entity_dict_df):
+    """The dictionary-outgrows-broadcast fallback (melted ladder + one
+    shuffle hash join + best-priority regroup) must produce EXACTLY the
+    broadcast ladder's output, misses included."""
+
+    def rows(strategy):
+        return sorted(
+            map(
+                tuple,
+                linking.link_mentions(
+                    _mentions(spark, _LADDER_KEYS),
+                    entity_dict_df,
+                    strategy=strategy,
+                ).collect(),
+            )
+        )
+
+    b, s = rows("broadcast"), rows("shuffle")
+    assert b == s
+    assert len(b) == len(_LADDER_KEYS)
+
+
+def test_shuffle_fallback_plan_has_no_broadcast_of_index(spark, entity_dict_df):
+    """With Spark's own auto-broadcast off (as it would be for a >threshold
+    index at scale), the fallback plan must contain NO broadcast — the
+    whole point is that the index never has to fit in executor memory."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        linked = linking.link_mentions(
+            _mentions(spark, _LADDER_KEYS), entity_dict_df, strategy="shuffle"
+        )
+        plan = linked._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert "BroadcastExchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_auto_strategy_switches_on_size_estimate(spark, entity_dict_df):
+    """Forcing a tiny broadcast budget must route auto → the shuffle
+    fallback, with identical output."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        forced = linking.link_mentions(
+            _mentions(spark, _LADDER_KEYS),
+            entity_dict_df,
+            strategy="auto",
+            broadcast_max_bytes=1,
+        )
+        plan = forced._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    got = {r["raw_key"]: (r["entity_id"], r["link_priority"]) for r in forced.collect()}
+    assert got["cfr/title=40/part=105"] == ("us/federal/ecfr/title=40/part=105", 1)
+    assert got["nonsense/key=1"] == (None, None)
+
+
 def test_broadcast_join_in_plan(spark, entity_dict_df):
     """The dictionary side must be broadcast — no shuffle for the lookup
     (SURVEY §4 broadcast-join requirement)."""
