@@ -137,29 +137,44 @@ _NODE_ENRICH_OUT = T.StructType(
     [
         T.StructField("n_tokens", T.IntegerType()),
         T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        T.StructField("name_embedding", T.ArrayType(T.DoubleType())),
+        T.StructField("summary", T.StringType()),
     ]
 )
 
+_SUMMARY_TOKENS = 30
+
 
 def node_enrich_udf(dim: int = 16):
-    """Fused token-count + hash-embedding pass: ONE Arrow transfer of the
-    (long) full node text instead of a JVM split-to-array pass for
-    ``n_tokens`` plus a second Arrow pass for the embedding — the text
-    column dominates the nodes plan, so shipping it once matters
-    (measured ~3 s off the 500k-turn nodes write).
+    """Fused node-payload pass — token count, TEXT embedding, NAME
+    embedding, and extractive summary in ONE Arrow transfer of the (long)
+    full node text, instead of a JVM split-to-array pass for ``n_tokens``
+    plus separate Arrow passes per vector — the text column dominates the
+    nodes plan, so shipping it once matters (measured ~3 s off the
+    500k-turn nodes write).
+
+    The multi-vector shape mirrors the reference's per-node retrieval
+    payload (text/name/summary/hyde embeddings, scrapeMI.py:79-83); the
+    summary-text and hyde LLM calls are external services, so ``summary``
+    is a documented deterministic extractive stand-in (the first
+    ``_SUMMARY_TOKENS`` tokens) that exercises the real plumbing.
 
     Semantics are identical to the unfused columns:
     - ``n_tokens`` = ``size(split(trim(lower(t)), '\\s+'))`` — note the
       JVM regex-split of an empty string yields ``[""]``, i.e. 1, which
       ``re.split`` reproduces; NULL text → NULL count;
     - ``embedding`` = ``hash_embed_udf`` over ``coalesce(t, '')`` (same
-      md5 bucket, sequential int norm, floor-truncation)."""
+      md5 bucket, sequential int norm, floor-truncation);
+    - ``name_embedding`` = the same hash embedding over the (short) name
+      column — nearly free, it rides the batch already in flight;
+    - ``summary`` = first ``_SUMMARY_TOKENS`` non-empty lowered tokens
+      joined by single spaces; NULL text → NULL."""
     import hashlib
     import math
     import re
 
     # re.ASCII: Java's \s is [ \t\n\x0B\f\r] only; Python's default \s also
-    # matches Unicode whitespace (\xa0,  , …) and would over-count
+    # matches Unicode whitespace (\xa0 etc.) and would over-count
     ws = re.compile(r"\s+", re.ASCII)
     cache: dict[str, int] = {}
 
@@ -170,25 +185,32 @@ def node_enrich_udf(dim: int = 16):
             cache[tok] = b
         return b
 
-    def _one(t: str | None) -> dict:
-        # ONE regex pass over the (long) text serves both outputs:
-        # n_tokens counts the raw split (JVM split of '' yields [''] → 1),
-        # the embedding consumes the empty-filtered tokens — identical to
-        # _ascii_tokens(t) by construction (same regex, same strip/lower).
+    def _embed(tokens: list) -> list:
+        counts = [0] * dim
+        for tok in tokens:
+            counts[_bucket(tok)] += 1
+        norm = math.sqrt(sum(c * c for c in counts)) or 1.0
+        return [math.floor(c / norm * 10000) / 10000 for c in counts]
+
+    def _one(t: str | None, nm: str | None) -> dict:
+        # ONE regex pass over the (long) text serves n_tokens, embedding
+        # AND summary: n_tokens counts the raw split (JVM split of ''
+        # yields [''] -> 1), the embedding/summary consume the
+        # empty-filtered tokens — identical to _ascii_tokens(t) by
+        # construction (same regex, same strip/lower).
         # strip(' '): JVM trim removes only 0x20, not \n\t — match exactly.
         parts = ws.split((t or "").strip(" ").lower())
-        counts = [0] * dim
-        for tok in parts:
-            if tok:
-                counts[_bucket(tok)] += 1
-        norm = math.sqrt(sum(c * c for c in counts)) or 1.0
-        emb = [math.floor(c / norm * 10000) / 10000 for c in counts]
-        n = None if t is None else len(parts)
-        return {"n_tokens": n, "embedding": emb}
+        toks = [tok for tok in parts if tok]
+        return {
+            "n_tokens": None if t is None else len(parts),
+            "embedding": _embed(toks),
+            "name_embedding": _embed(_ascii_tokens(nm)),
+            "summary": None if t is None else " ".join(toks[:_SUMMARY_TOKENS]),
+        }
 
     @F.pandas_udf(_NODE_ENRICH_OUT)
-    def _enrich(texts: pd.Series) -> pd.DataFrame:
-        return pd.DataFrame(list(texts.map(_one)))
+    def _enrich(texts: pd.Series, names: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame([_one(t, nm) for t, nm in zip(texts, names)])
 
     return _enrich
 

@@ -440,10 +440,15 @@ def run_pipeline(
                 # split-to-array count (ships/allocates the text twice);
                 # see enrich.node_enrich_udf docstring
                 "_enr",
-                enrich.node_enrich_udf(dim=16)(full_text),
+                enrich.node_enrich_udf(dim=16)(full_text, F.col("name")),
             )
             .withColumn("n_tokens", F.col("_enr.n_tokens"))
             .withColumn("embedding", F.col("_enr.embedding"))
+            # multi-vector retrieval payload (reference carries
+            # text/name/summary/hyde vectors per node, scrapeMI.py:79-83;
+            # summary here is the documented extractive stand-in)
+            .withColumn("name_embedding", F.col("_enr.name_embedding"))
+            .withColumn("summary", F.col("_enr.summary"))
             .drop("_enr")
         )
         # phase-3 relationship columns onto the nodes rows (reference

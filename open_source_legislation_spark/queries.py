@@ -661,6 +661,29 @@ def q_enrich_hash_embed(spark, sf_dir):
     )
 
 
+def q_enrich_multi_embed(spark, sf_dir):
+    """Multi-vector retrieval payload (reference carries text/name/summary
+    vectors per node, scrapeMI.py:79-83) — the FUSED enrich kernel
+    (operators/enrich.py node_enrich_udf) over the documents table: one
+    Arrow pass yields the token count, the text embedding, the
+    name-column embedding (``source`` stands in for the node name), and
+    the deterministic extractive summary stand-in."""
+    from .operators import enrich
+
+    d = _t(spark, sf_dir, "documents")
+    fmt = lambda v: F.concat_ws(  # noqa: E731
+        ",", F.transform(v, lambda x: F.format_number(x, 4))
+    )
+    out = d.withColumn("_e", enrich.node_enrich_udf(dim=8)("text", "source"))
+    return out.select(
+        "doc_id",
+        F.col("_e.n_tokens").alias("n_tokens"),
+        fmt(F.col("_e.embedding")).alias("emb"),
+        fmt(F.col("_e.name_embedding")).alias("name_emb"),
+        F.col("_e.summary").alias("summary"),
+    )
+
+
 def q_ta_quality(spark, sf_dir):
     return text_analysis.quality_scores(_t(spark, sf_dir, "documents"))
 
@@ -1433,6 +1456,7 @@ NEVER_DRIVER_VERIFIED: list[str] = [
     "agg_node_text",  # new in r3 (per-node document text shape)
     "prj_citation_node",  # new in r3 (citation-from-id-path shape)
     "join_defs_closure",  # new in r3 (defscope.applicable_definitions)
+    "enrich_multi_embed",  # new in r4 (fused multi-vector node payload)
 ]
 
 # Dict ORDER is part of the driver contract: the driver's correctness gate
@@ -1477,6 +1501,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_node_text": q_agg_node_text,
     "prj_citation_node": q_prj_citation_node,
     "join_defs_closure": q_join_defs_closure,
+    "enrich_multi_embed": q_enrich_multi_embed,
     # -- keepers: green in r2, stay inside the 50-slot window --------------
     "join_incoming_refs": q_join_incoming_refs,
     "agg_siblings": q_agg_siblings,
@@ -2037,6 +2062,44 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "sim_ann_lsh": _ann_lsh_sql().format(cos=_COS_EXPR),
     "sim_ivf_build": _ivf_oracle_sql(),
+    "enrich_multi_embed": """
+        WITH base AS (
+          SELECT doc_id, text,
+                 string_split_regex(trim(lower(text)), '\\s+') AS w_raw,
+                 list_filter(
+                   string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                   x -> length(x) > 0) AS toks,
+                 list_filter(
+                   string_split_regex(trim(lower(coalesce(source, ''))), '\\s+'),
+                   x -> length(x) > 0) AS nw
+          FROM documents
+        ), cnt AS (
+          SELECT doc_id, text, toks,
+                 len(w_raw) AS n_tokens,
+                 [CAST(len(list_filter(toks,
+                    t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 8 = b))
+                  AS DOUBLE) FOR b IN range(0, 8)] AS tc,
+                 [CAST(len(list_filter(nw,
+                    t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 8 = b))
+                  AS DOUBLE) FOR b IN range(0, 8)] AS nc
+          FROM base
+        ), nrm AS (
+          SELECT *,
+                 sqrt(list_sum(list_transform(tc, c -> c * c))) AS tn,
+                 sqrt(list_sum(list_transform(nc, c -> c * c))) AS nn
+          FROM cnt
+        )
+        SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+               array_to_string(list_transform(tc, c -> printf('%.4f',
+                 floor(c / (CASE WHEN tn > 0 THEN tn ELSE 1 END) * 10000)
+                 / 10000)), ',') AS emb,
+               array_to_string(list_transform(nc, c -> printf('%.4f',
+                 floor(c / (CASE WHEN nn > 0 THEN nn ELSE 1 END) * 10000)
+                 / 10000)), ',') AS name_emb,
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE array_to_string(toks[1:30], ' ') END AS summary
+        FROM nrm
+    """,
     "ta_tokens": """
         SELECT doc_id,
                len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,

@@ -76,7 +76,9 @@ def test_fused_node_enrich_matches_unfused(spark):
         (5, "the the the"),
         (6, "nbsp\xa0inside and thin space"),  # Java \s is ASCII-only
     ]
-    df = spark.createDataFrame(rows, schema="id long, t string")
+    df = spark.createDataFrame(
+        [(i, t, f"name {i}") for i, t in rows], schema="id long, t string, nm string"
+    )
     unfused = df.select(
         "id",
         F.when(
@@ -84,12 +86,33 @@ def test_fused_node_enrich_matches_unfused(spark):
             F.size(F.split(F.trim(F.lower("t")), r"\s+")),
         ).alias("n_tokens"),
         enrich.hash_embed_udf(dim=16)(F.coalesce("t", F.lit(""))).alias("emb"),
+        enrich.hash_embed_udf(dim=16)(F.col("nm")).alias("nemb"),
     )
-    fused = df.select("id", enrich.node_enrich_udf(dim=16)(F.col("t")).alias("e"))
-    a = {r["id"]: (r["n_tokens"], tuple(r["emb"])) for r in unfused.collect()}
-    b = {r["id"]: (r["e"]["n_tokens"], tuple(r["e"]["embedding"]))
-         for r in fused.collect()}
+    fused = df.select(
+        "id", enrich.node_enrich_udf(dim=16)(F.col("t"), F.col("nm")).alias("e")
+    )
+    a = {
+        r["id"]: (r["n_tokens"], tuple(r["emb"]), tuple(r["nemb"]))
+        for r in unfused.collect()
+    }
+    b = {
+        r["id"]: (
+            r["e"]["n_tokens"],
+            tuple(r["e"]["embedding"]),
+            tuple(r["e"]["name_embedding"]),
+        )
+        for r in fused.collect()
+    }
     assert a == b
+    # summary: first tokens of the lowered ASCII-ws split; NULL text -> NULL
+    summ = {r["id"]: r["e"]["summary"] for r in fused.collect()}
+    assert summ[0] == "the quick brown fox"
+    assert summ[1] == ""
+    assert summ[2] is None
+    assert summ[3] == "padded spaces"
+    # row 6 holds a literal U+2009 thin space: NOT an ASCII-\s boundary,
+    # so it stays inside one token (matching the JVM split)
+    assert summ[6] == rows[6][1].lower()
 
 
 def test_deterministic_across_runs(docs):

@@ -160,10 +160,15 @@ def test_node_embeddings_and_topk(spark, transcripts_df, entity_dict_df):
 
     res = _pipeline(spark, transcripts_df, entity_dict_df)
     nodes = res.nodes.filter(F.col("text").isNotNull())
-    row = nodes.select("node_id", "embedding", "n_tokens").first()
+    row = nodes.select(
+        "node_id", "embedding", "n_tokens", "name_embedding", "summary"
+    ).first()
     assert row.n_tokens >= 1
     assert len(row.embedding) == 16
     assert abs(sum(x * x for x in row.embedding) - 1.0) < 0.01  # ~unit norm
+    # multi-vector payload: name embedding + extractive summary stand-in
+    assert len(row.name_embedding) == 16
+    assert row.summary is not None and len(row.summary.split()) >= 1
     # phase-3 joined up: similarity search runs over pipeline nodes
     emb = nodes.select(
         F.col("node_id").alias("vec_id"), F.col("embedding").alias("embedding")
