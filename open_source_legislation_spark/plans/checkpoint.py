@@ -155,10 +155,36 @@ class CheckpointedRunner:
         ``bucket(B, conv_id)`` partition spec (SCALE.md) and costs nothing
         per run; here one ``repartition(B, _bucket)`` write stands in.
         A completed write (Spark's ``_SUCCESS`` marker) is REUSED on
-        resume — the bucketing is deterministic, so a killed run's buckets
-        and a resumed run's buckets align by construction."""
+        resume — but only after validating the sidecar ``_input_meta.json``
+        (bucket count + input row fingerprint): a resume with a different
+        ``num_buckets``, or an out_dir re-pointed at different input, would
+        otherwise silently commit empty buckets — data loss
+        indistinguishable from genuinely empty hash buckets. A reuse whose
+        meta sidecar is missing (crash between the parquet write and the
+        meta rename) is re-materialized, not trusted."""
         path = self._input_path()
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
+        meta_path = os.path.join(path, "_input_meta.json")
+        if os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(
+            meta_path
+        ):
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+            if meta["num_buckets"] != self.num_buckets:
+                raise ValueError(
+                    f"checkpoint resume: materialized input at {path} was "
+                    f"bucketed with num_buckets={meta['num_buckets']} but "
+                    f"this run uses {self.num_buckets}; clear {INPUT_DIR} "
+                    f"(and the manifest) or restore the original bucket "
+                    f"count — reusing it would mislabel every bucket"
+                )
+            incoming = transcripts.count()
+            if meta["rows"] != incoming:
+                raise ValueError(
+                    f"checkpoint resume: materialized input at {path} holds "
+                    f"{meta['rows']} rows but the incoming transcripts have "
+                    f"{incoming}; the out_dir points at different input — "
+                    f"clear it instead of silently resuming"
+                )
             return
         bucketed = transcripts.withColumn(
             "_bucket", bucket_col(F.col("conv_id"), self.num_buckets)
@@ -169,6 +195,11 @@ class CheckpointedRunner:
             .partitionBy("_bucket")
             .parquet(path)
         )
+        meta = {"num_buckets": self.num_buckets, "rows": self._parquet_rows(path)}
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, meta_path)
 
     def _run_bucket(self, entity_dict: DataFrame, b: int) -> BucketStats:
         """One bucket end-to-end. rows_out comes from the committed parquet

@@ -28,6 +28,21 @@ from .operators import (
 )
 
 
+def _run_tmpdir(prefix: str) -> str:
+    """Per-run scratch dir (concurrent contract runs must not clobber each
+    other), removed at interpreter exit. Eager removal is impossible: the
+    returned DataFrame reads the dir lazily AFTER the query callable
+    returns — the driver collects it — so cleanup hooks on exit instead of
+    leaking one dir per sweep."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -941,13 +956,12 @@ def q_src_toc_file(spark, sf_dir):
     (sources/io.py read_toc_lines) and parse declaratively. The oracle
     derives the same values straight from the documents view (the
     round-trip is lossless for single-line text)."""
-    import tempfile
 
     from .sources import io as src_io
 
     d = _t(spark, sf_dir, "documents")
     # per-run dir: concurrent contract runs must not clobber each other
-    out = tempfile.mkdtemp(prefix="oslspark_toc_src_")
+    out = _run_tmpdir("oslspark_toc_src_")
     # newlines fold to spaces (length-preserving, so n_body_chars still
     # equals length(text)) and null text becomes '' — without these a
     # multi-line or null document would break the one-row-per-line contract
@@ -1028,7 +1042,6 @@ def q_stream_sessionize(spark, sf_dir):
     strictly before that watermark emits (in-data-closed or timed out);
     the oracle reproduces exactly that cutoff."""
     import shutil
-    import tempfile
     import uuid
 
     from .streaming.stateful import sessionize_stream
@@ -1036,7 +1049,7 @@ def q_stream_sessionize(spark, sf_dir):
     # per-run temp root + unique memory-sink name: two concurrent contract/
     # bench runs on the same host must not clobber each other's inputs,
     # checkpoints, or sink tables (round-2 advice)
-    run_root = tempfile.mkdtemp(prefix="oslspark_stream_")
+    run_root = _run_tmpdir("oslspark_stream_")
     src_dir = f"{run_root}/events"
     import os
 
@@ -1087,12 +1100,11 @@ def q_stream_window_agg(spark, sf_dir):
     that cutoff. Sums are decimal integer cents — float-free payload."""
     import os
     import shutil
-    import tempfile
     import uuid
 
     from .streaming.incremental import tumbling_window_agg
 
-    run_root = tempfile.mkdtemp(prefix="oslspark_twagg_")
+    run_root = _run_tmpdir("oslspark_twagg_")
     src_dir = f"{run_root}/events"
     os.makedirs(src_dir)
     shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
@@ -1132,12 +1144,11 @@ def q_snk_parquet_roundtrip(spark, sf_dir):
     """SURVEY §2.1 snk_insert/snk_file — append sink + re-scan: write the
     joined dimension to parquet (the Iceberg-append stand-in,
     utilityFunctions.py:411-454), read it back, aggregate."""
-    import tempfile
 
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     # per-run dir: concurrent contract runs must not clobber each other
-    out = tempfile.mkdtemp(prefix="oslspark_snk_roundtrip_")
+    out = _run_tmpdir("oslspark_snk_roundtrip_")
     n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
         "n_name", "r_name"
     ).write.mode("overwrite").parquet(out)
@@ -1153,13 +1164,12 @@ def q_snk_snapshot_travel(spark, sf_dir):
     has no history). Seed v1 from customer, commit a modified v2, then
     time-travel-read BOTH versions and aggregate — v1 must still show the
     pre-update world."""
-    import tempfile
 
     from .sources import io as osl_io
 
     c = _t(spark, sf_dir, "customer")
     base = c.select("c_custkey", F.col("c_mktsegment").alias("seg"))
-    out = tempfile.mkdtemp(prefix="oslspark_snap_")
+    out = _run_tmpdir("oslspark_snap_")
     v1 = osl_io.write_snapshot(base, out, "cust")
     updated = base.withColumn(
         "seg",
@@ -1283,7 +1293,6 @@ def q_snk_upsert_merge(spark, sf_dir):
     for Iceberg MERGE INTO), re-scan the committed files and aggregate.
     Balance sums are emitted as integer cents (decimal sum, then bigint) so
     the hashed payload survives any float normalization."""
-    import tempfile
 
     from .sources import io as osl_io
 
@@ -1293,7 +1302,7 @@ def q_snk_upsert_merge(spark, sf_dir):
         F.col("c_mktsegment").alias("seg"),
         F.col("c_acctbal").alias("bal"),
     )
-    out_dir = tempfile.mkdtemp(prefix="oslspark_upsert_")
+    out_dir = _run_tmpdir("oslspark_upsert_")
     osl_io.write_table(base, out_dir, "cust")
     updates = c.filter(F.col("c_custkey") % 10 == 0).select(
         "c_custkey",

@@ -70,9 +70,12 @@ def write_snapshot(
     rewritten, so concurrent readers of an existing version are unaffected
     and a reader of version n scans exactly one directory — the same
     directory-level pruning the checkpoint runner's bucket layout uses.
-    Single-writer, like a default Iceberg table: two concurrent writers
-    could allocate the same version id (real Iceberg serializes commits via
-    atomic metadata swap; the parquet stand-in does not try to).
+    Commit protocol (real Iceberg serializes commits via atomic metadata
+    swap; the parquet stand-in approximates it): the version DIRECTORY is
+    claimed with an atomic ``os.mkdir`` BEFORE any data is written, so two
+    racing writers can never overwrite each other — the loser's mkdir
+    fails and it retries with the next id — and the manifest append stays
+    the publish point (write dir first, publish last).
     Returns the new snapshot id."""
     root = os.path.join(base_dir, name)
     manifest = os.path.join(root, "_snapshots")
@@ -82,8 +85,15 @@ def write_snapshot(
         with open(manifest) as fh:
             existing = [int(x) for x in fh.read().split() if x]
     version = (max(existing) + 1) if existing else 1
-    df.write.mode("overwrite").parquet(os.path.join(root, f"v={version}"))
-    # manifest append is the commit point (write dir first, publish last)
+    while True:
+        vdir = os.path.join(root, f"v={version}")
+        try:
+            os.mkdir(vdir)  # atomic claim: fails on collision
+            break
+        except FileExistsError:
+            # a racing (or crashed, unpublished) writer holds this id
+            version += 1
+    df.write.mode("overwrite").parquet(vdir)
     with open(manifest, "a") as fh:
         fh.write(f"{version}\n")
     return version
@@ -98,6 +108,12 @@ def read_snapshot(
     manifest = os.path.join(root, "_snapshots")
     with open(manifest) as fh:
         versions = [int(x) for x in fh.read().split() if x]
+    if len(set(versions)) != len(versions):
+        # a double-committed id means the mkdir claim was bypassed (e.g.
+        # manual manifest edits) — the data under it is an undefined
+        # mixture; refuse rather than silently serve it
+        dupes = sorted({v for v in versions if versions.count(v) > 1})
+        raise ValueError(f"corrupt snapshot manifest {manifest}: duplicate ids {dupes}")
     if not versions:
         raise FileNotFoundError(f"no committed snapshots under {root}")
     v = version if version is not None else max(versions)

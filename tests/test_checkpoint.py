@@ -38,6 +38,34 @@ def test_kill_and_resume_identical(
     assert resumed.run(transcripts_df, entity_dict_df) == 0
 
 
+def test_resume_with_changed_bucket_count_refused(
+    spark, transcripts_df, entity_dict_df, tmp_path_factory
+):
+    """A resume whose num_buckets differs from the materialized input's
+    would treat every missing _bucket=b dir as legitimately empty and
+    commit rows_in=0 — silent data loss. The meta sidecar must catch it."""
+    out = str(tmp_path_factory.mktemp("ckpt_nb"))
+    CheckpointedRunner(spark, out, run_id="a", num_buckets=2).run(
+        transcripts_df, entity_dict_df
+    )
+    bad = CheckpointedRunner(spark, out, run_id="b", num_buckets=8)
+    with pytest.raises(ValueError, match="num_buckets"):
+        bad.run(transcripts_df, entity_dict_df)
+
+
+def test_resume_with_different_input_refused(
+    spark, transcripts_df, entity_dict_df, tmp_path_factory
+):
+    out = str(tmp_path_factory.mktemp("ckpt_in"))
+    CheckpointedRunner(spark, out, run_id="a", num_buckets=2).run(
+        transcripts_df, entity_dict_df
+    )
+    other = transcripts_df.limit(transcripts_df.count() // 2)
+    again = CheckpointedRunner(spark, out, run_id="b", num_buckets=2)
+    with pytest.raises(ValueError, match="different input"):
+        again.run(other, entity_dict_df)
+
+
 def test_metrics_ledger(spark, transcripts_df, entity_dict_df, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("ckpt_m"))
     runner = CheckpointedRunner(spark, out, run_id="m1", num_buckets=2)
