@@ -95,6 +95,9 @@ HEADLINE_CONTRACT = [
     # round-3 training-data ops: DF vocabulary and token-budget packing
     "ta_vocab_topk",
     "smp_pack_budget",
+    # round-4: k-means IVF index build (Lloyd loop over a persisted
+    # training frame — one input scan instead of two per iteration)
+    "sim_ivf_build",
 ]
 
 

@@ -210,6 +210,47 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dup_clusters(
+    docs: DataFrame,
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup CLUSTERING + canonical selection — the keep/drop decision
+    the pairwise operators stop short of (a training-data pipeline dedups
+    by keeping ONE representative per duplicate cluster, not by listing
+    pairs): LSH-verified Jaccard pairs become undirected edges, connected
+    components (pointer-jumped min-label, ``canonicalize.
+    connected_components``) give the clusters, and the minimum doc_id in
+    each cluster is kept. Docs with no near-dup keep themselves.
+
+    Scale shape: candidate pairs are LSH-bucketed (shuffle = docs × bands,
+    never all-pairs); CC runs O(log diameter) rounds over the PAIR set
+    (≪ corpus — only near-dups enter); the final assignment is one left
+    join of the corpus against the small member-label frame.
+
+    Output: ``(doc_id, canonical_id, is_kept)``.
+    """
+    from .canonicalize import connected_components
+
+    pairs = minhash_lsh_pairs(docs, n, num_perm, bands, threshold)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels = connected_components(edges)
+    out = docs.select("doc_id").join(
+        labels.select(
+            F.col("member").alias("doc_id"), F.col("canonical").alias("_can")
+        ),
+        "doc_id",
+        "left",
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce("_can", "doc_id").alias("canonical_id"),
+        (F.coalesce("_can", "doc_id") == F.col("doc_id")).alias("is_kept"),
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """(doc_id, simhash) — SimHash as a `bits`-char 0/1 string.
 

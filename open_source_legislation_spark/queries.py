@@ -661,6 +661,16 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_cluster_keep(spark, sf_dir):
+    """Near-dup clustering + canonical keep/drop (dedup.near_dup_clusters):
+    LSH pairs → pointer-jumped connected components → keep min doc_id per
+    cluster. The oracle reproduces the clusters with a recursive
+    transitive-closure CTE over the same verified pair set."""
+    return dedup.near_dup_clusters(
+        _t(spark, sf_dir, "documents"), n=3, num_perm=16, bands=4, threshold=0.5
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
@@ -1478,6 +1488,7 @@ NEVER_DRIVER_VERIFIED: list[str] = [
     "sim_ivf_build",  # no_oracle r3: literal-centroid oracle added in r4
     "enrich_multi_embed",  # new in r4 (fused multi-vector node payload)
     "join_entity_link_ladder",  # new in r4 (shuffle-fallback candidate ladder)
+    "dedup_cluster_keep",  # new in r4 (near-dup clustering + canonical keep)
 ]
 
 # Dict ORDER is part of the driver contract: the driver's correctness gate
@@ -1495,6 +1506,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_build": q_sim_ivf_build,
     "enrich_multi_embed": q_enrich_multi_embed,
     "join_entity_link_ladder": q_join_entity_link_ladder,
+    "dedup_cluster_keep": q_dedup_cluster_keep,
     # -- single-green-row queries: earn their second driver row this round -
     "prj_br_strip": q_prj_br_strip,
     "agg_refhub_merge": q_agg_refhub_merge,
@@ -1540,9 +1552,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ta_langid": q_ta_langid,
     "ta_fingerprint": q_ta_fingerprint,
     "ta_tokens": q_ta_tokens,
-    "ta_tokens_bpe": q_ta_tokens_bpe,
     "window_running": q_window_running,
     # -- rotated (position >50): >=2 green driver rows stand as history ----
+    "ta_tokens_bpe": q_ta_tokens_bpe,
     "window_tumbling": q_window_tumbling,
     "flt_class_allow": q_flt_class_allow,
     "flt_disallowed_class": q_flt_disallowed_class,
@@ -2049,6 +2061,26 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_ngram_jaccard": _JACCARD_CTE
     + "SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.8",
     "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_cluster_keep": f"""
+        WITH RECURSIVE pairs AS ({_minhash_sql()}),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        lab AS (
+          SELECT a AS doc_id, least(a, min(b)) AS canonical
+          FROM reach GROUP BY a
+        )
+        SELECT d.doc_id,
+               coalesce(l.canonical, d.doc_id) AS canonical_id,
+               coalesce(l.canonical, d.doc_id) = d.doc_id AS is_kept
+        FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+    """,
     "dedup_simhash": """
         WITH toks AS (
           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok

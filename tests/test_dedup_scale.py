@@ -99,3 +99,52 @@ def test_ann_lsh_pairs_subset_of_exact(emb_df):
         for r in dedup.embedding_near_dup_bruteforce(emb_df, threshold=0.5).collect()
     }
     assert ann <= exact  # bucket-join can only prune, never invent pairs
+
+
+def test_near_dup_clusters_transitive_keep_min(spark):
+    """A chain a~b, b~c (a and c NOT direct near-dups) must land in ONE
+    cluster with the min doc_id kept; isolated docs keep themselves."""
+    docs = spark.createDataFrame(
+        [
+            # 10/11 share most trigrams; 11/12 share most trigrams; 10/12
+            # are farther apart but must still cluster transitively
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),
+            (11, "alpha beta gamma delta epsilon zeta eta iota"),
+            (12, "beta gamma delta epsilon zeta eta iota kappa mu"),
+            (30, "completely different words about unrelated topics here"),
+        ],
+        "doc_id long, text string",
+    )
+    # bands=8 (2 rows/band) for candidate recall on this tiny fixture;
+    # threshold 0.5 sits between J(10,12)=0.444 and J(11,12)=0.625, so
+    # 10~12 can only cluster through the chain
+    got = {
+        r.doc_id: (r.canonical_id, r.is_kept)
+        for r in dedup.near_dup_clusters(
+            docs, num_perm=16, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert got[10] == (10, True)
+    assert got[11] == (10, False)
+    assert got[12] == (10, False)
+    assert got[30] == (30, True)
+    # pair check: 10~12 are not a direct verified pair (chain only)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, num_perm=16, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert pairs == {(10, 11), (11, 12)}
+
+
+def test_near_dup_clusters_no_pairs_is_identity(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two three"), (2, "four five six"), (3, "seven eight nine")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.canonical_id, r.is_kept)
+        for r in dedup.near_dup_clusters(docs).collect()
+    }
+    assert got == {1: (1, True), 2: (2, True), 3: (3, True)}
