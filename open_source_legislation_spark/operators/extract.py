@@ -767,6 +767,7 @@ def derive_nodes_sharded(
     small = transcripts.join(F.broadcast(big), "conv_id", "left_anti")
     bigt = transcripts.join(F.broadcast(big), "conv_id", "inner")
     parts = [derive_nodes_stream(small, num_partitions)]
+    persisted = []
 
     n_rounds = (
         int(bigt.agg(F.max(F.floor(F.col("turn_idx") / shard_turns))).first()[0]) + 1
@@ -784,6 +785,7 @@ def derive_nodes_sharded(
         # one materialization per round: the exit-state collect and the
         # final union must see the SAME pass (ids depend on walk state)
         raw.persist(StorageLevel.DISK_ONLY)
+        persisted.append(raw)
         exits = {
             r["conv_id"]: json.loads(r["clean_text"])
             for r in raw.filter(F.col("node_id") == _SHARD_STATE)
@@ -803,6 +805,10 @@ def derive_nodes_sharded(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    # the per-round DISK_ONLY caches back the returned plan; the consumer
+    # that materializes `out` elsewhere (e.g. run_pipeline's parquet spill)
+    # releases them via this handle once its copy is durable
+    out._osl_shard_persists = persisted
     return out
 
 

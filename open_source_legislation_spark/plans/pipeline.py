@@ -327,6 +327,10 @@ def run_pipeline(
 
         spill_dir = tempfile.mkdtemp(prefix="osl_derived_")
         derived.write.mode("overwrite").parquet(spill_dir)
+        # the sharded engine's per-round DISK_ONLY caches are subsumed by
+        # the parquet copy just written — release them
+        for cached in getattr(derived, "_osl_shard_persists", []):
+            cached.unpersist()
         # explicit schema: an empty input writes no part files, and the
         # schema must survive that
         derived = spark.read.schema(extract._DERIVED_SCHEMA).parquet(spill_dir)
