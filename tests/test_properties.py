@@ -109,3 +109,31 @@ def test_duplicate_injection_deterministic(spark, seed):
         map(tuple, o["triples"][["subj", "pred", "obj"]].itertuples(index=False))
     )
     assert oracle.precision_recall(got, exp) == (1.0, 1.0)
+
+
+@settings(
+    max_examples=3, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_sharded_engine_property_equivalence(spark, seed):
+    """Conv-sharded derive (random input, small shard size, hot conv +
+    duplicates) must emit exactly the single-task kernel's triples — the
+    boundary-state stitch holds under arbitrary seeds, not just the fixture
+    in test_engines_equivalent."""
+    from open_source_legislation_spark.plans.pipeline import run_pipeline
+
+    pdf = synth.make_transcripts(
+        seed=seed, n_turns_target=400, hot_fraction=0.4, dup_fraction=0.05
+    )
+    ed = spark.createDataFrame(
+        synth.make_entity_dictionary(), schema=schemas.ENTITY_DICTIONARY
+    )
+    tdf = spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS)
+    outs = []
+    for knob in (None, 37):
+        res = run_pipeline(spark, tdf, ed, max_conv_turns=knob)
+        outs.append(
+            set(map(tuple, res.triples.select("subj", "pred", "obj").collect()))
+        )
+        res.cleanup()
+    assert outs[0] == outs[1]
