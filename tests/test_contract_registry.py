@@ -69,7 +69,16 @@ def test_no_oracle_output_column_is_hugeint():
     hazards = {}
     for name, sql in ORACLE_SQL.items():
         desc = con.sql(f"DESCRIBE ({sql})").fetchall()
-        bad = [(c, ty) for c, ty, *_ in desc if "HUGEINT" in ty.upper()]
+        # DECIMAL is the same hazard class: DuckDB DECIMAL -> pandas
+        # float64 while Spark decimal -> Decimal objects, so formatting
+        # diverges in the driver only
+        bad = [
+            (c, ty)
+            for c, ty, *_ in desc
+            if "HUGEINT" in ty.upper() or "DECIMAL" in ty.upper()
+        ]
         if bad:
             hazards[name] = bad
-    assert not hazards, f"HUGEINT-typed oracle outputs (driver float64 trap): {hazards}"
+    assert not hazards, (
+        f"HUGEINT/DECIMAL-typed oracle outputs (driver float64 trap): {hazards}"
+    )
