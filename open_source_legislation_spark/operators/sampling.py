@@ -112,3 +112,33 @@ def pack_token_budget(docs: DataFrame, budget: int = 512) -> DataFrame:
         "n_tokens",
         F.floor(offset / budget).cast("bigint").alias("pack_id"),
     )
+
+
+def stratified_sample(
+    docs: DataFrame, stratum_col: str, rates_bps: dict, default_bps: int = 0
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the mixture-weighting step
+    of a pretraining data recipe (e.g. keep 100% of one source, 5% of
+    another). ``rates_bps`` maps stratum value → keep rate in basis points
+    (0..10000); unlisted strata get ``default_bps``.
+
+    The keep decision is a pure function of ``doc_id`` (md5 bucket in
+    0..9999), so the sample is reproducible across runs, engines, and
+    cluster sizes — no RNG, no ``sample()`` nondeterminism — and it
+    composes with resume (a re-run keeps the same rows). One narrow
+    filter, no shuffle.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10000
+    )
+    rate = F.lit(default_bps)
+    for k, v in sorted(rates_bps.items()):
+        rate = F.when(F.col(stratum_col) == k, v).otherwise(rate)
+    return (
+        docs.withColumn("_bucket", bucket)
+        .withColumn("_rate_bps", rate)
+        .filter(F.col("_bucket") < F.col("_rate_bps"))
+        .drop("_bucket", "_rate_bps")
+    )

@@ -157,3 +157,32 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     (reference content-identity analog of node_id determinism)."""
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     return docs.select("doc_id", F.substring(F.md5(norm), 1, 16).alias("fp"))
+
+
+def c4_line_clean(
+    docs: DataFrame, line_sep: str = "\n", min_words: int = 3
+) -> DataFrame:
+    """C4-style line-level cleaning (the public C4 heuristics: keep lines
+    that end in terminal punctuation and have enough words, drop lines
+    mentioning javascript, flag documents with boilerplate markers) —
+    pure codegen expressions, zero Python.
+
+    Output: ``doc_id, clean_text (kept lines re-joined), n_lines_kept,
+    n_lines_total, doc_flagged`` (lorem-ipsum / curly-brace documents are
+    flagged, not silently dropped — the caller decides).
+    """
+    lines = F.split(F.col("text"), line_sep)
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike(r"""[.!?"']\s*$""")
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_words)
+        & ~F.lower(ln).contains("javascript"),
+    )
+    low = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.concat_ws(line_sep, kept).alias("clean_text"),
+        F.size(kept).alias("n_lines_kept"),
+        F.size(lines).alias("n_lines_total"),
+        (low.contains("lorem ipsum") | low.contains("{")).alias("doc_flagged"),
+    )

@@ -749,6 +749,39 @@ def q_enrich_multi_embed(spark, sf_dir):
     )
 
 
+def q_ta_c4_clean(spark, sf_dir):
+    """C4-style line cleaning (text_analysis.c4_line_clean, the public C4
+    heuristics): terminal-punctuation + min-words + javascript line
+    filters, boilerplate document flag — pure codegen. The synthetic
+    documents are single-line, so the query builds a 5-line document per
+    row with known keep/drop structure (two text-dependent lines)."""
+    d = _t(spark, sf_dir, "documents")
+    built = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("The first line looks good."),
+            F.concat(F.col("text"), F.lit(".")),  # kept, row-specific
+            F.col("text"),  # no terminal punctuation -> dropped
+            F.lit("tiny."),  # too few words -> dropped
+            F.lit("This line uses javascript sadly."),  # dropped
+        ).alias("text"),
+    )
+    return text_analysis.c4_line_clean(built)
+
+
+def q_smp_stratified(spark, sf_dir):
+    """Per-stratum deterministic downsampling (sampling.stratified_sample):
+    keep 100% of en, 25% of de, 5% of everything else — md5-bucket keep
+    decision, reproducible across engines and cluster sizes."""
+    return sampling.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        "lang",
+        {"en": 10000, "de": 2500},
+        default_bps=500,
+    ).select("doc_id", "lang", "source")
+
+
 def q_ta_quality(spark, sf_dir):
     return text_analysis.quality_scores(_t(spark, sf_dir, "documents"))
 
@@ -1489,6 +1522,8 @@ NEVER_DRIVER_VERIFIED: list[str] = [
     "enrich_multi_embed",  # new in r4 (fused multi-vector node payload)
     "join_entity_link_ladder",  # new in r4 (shuffle-fallback candidate ladder)
     "dedup_cluster_keep",  # new in r4 (near-dup clustering + canonical keep)
+    "ta_c4_clean",  # new in r4 (C4-style line cleaning)
+    "smp_stratified",  # new in r4 (per-stratum deterministic downsampling)
 ]
 
 # Dict ORDER is part of the driver contract: the driver's correctness gate
@@ -1507,6 +1542,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "enrich_multi_embed": q_enrich_multi_embed,
     "join_entity_link_ladder": q_join_entity_link_ladder,
     "dedup_cluster_keep": q_dedup_cluster_keep,
+    "ta_c4_clean": q_ta_c4_clean,
+    "smp_stratified": q_smp_stratified,
     # -- single-green-row queries: earn their second driver row this round -
     "prj_br_strip": q_prj_br_strip,
     "agg_refhub_merge": q_agg_refhub_merge,
@@ -1551,9 +1588,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ta_quality": q_ta_quality,
     "ta_langid": q_ta_langid,
     "ta_fingerprint": q_ta_fingerprint,
+    # -- rotated (position >50): >=2 green driver rows stand as history ----
     "ta_tokens": q_ta_tokens,
     "window_running": q_window_running,
-    # -- rotated (position >50): >=2 green driver rows stand as history ----
     "ta_tokens_bpe": q_ta_tokens_bpe,
     "window_tumbling": q_window_tumbling,
     "flt_class_allow": q_flt_class_allow,
@@ -2117,6 +2154,40 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "sim_ann_lsh": _ann_lsh_sql().format(cos=_COS_EXPR),
     "sim_ivf_build": _ivf_oracle_sql(),
+    "ta_c4_clean": """
+        WITH built AS (
+          SELECT doc_id,
+                 'The first line looks good.' || chr(10) ||
+                 text || '.' || chr(10) ||
+                 text || chr(10) ||
+                 'tiny.' || chr(10) ||
+                 'This line uses javascript sadly.' AS t
+          FROM documents
+        ), ln AS (
+          SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM built
+        ), k AS (
+          SELECT doc_id, t, lines,
+                 list_filter(lines, l ->
+                   regexp_matches(l, '[.!?"'']\\s*$')
+                   AND len(string_split_regex(trim(l), '\\s+')) >= 3
+                   AND NOT contains(lower(l), 'javascript')) AS kept
+          FROM ln
+        )
+        SELECT doc_id,
+               array_to_string(kept, chr(10)) AS clean_text,
+               CAST(len(kept) AS INTEGER) AS n_lines_kept,
+               CAST(len(lines) AS INTEGER) AS n_lines_total,
+               (contains(lower(t), 'lorem ipsum') OR contains(lower(t), '{'))
+                 AS doc_flagged
+        FROM k
+    """,
+    "smp_stratified": """
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 10000
+              < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 2500 ELSE 500 END
+    """,
     "join_entity_link_ladder": """
         WITH m AS (
           SELECT o_orderkey,

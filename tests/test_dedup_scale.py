@@ -148,3 +148,24 @@ def test_near_dup_clusters_no_pairs_is_identity(spark):
         for r in dedup.near_dup_clusters(docs).collect()
     }
     assert got == {1: (1, True), 2: (2, True), 3: (3, True)}
+
+
+def test_c4_line_clean_rules(spark):
+    from open_source_legislation_spark.operators import text_analysis
+
+    docs = spark.createDataFrame(
+        [
+            (1, "This line is kept.\nno terminal punctuation\nSo tiny.\n"
+                "Contains javascript somewhere here.\nAnother good line stays!"),
+            (2, "Lorem ipsum dolor sit amet.\nA normal line remains here."),
+            (3, "var x = { a: 1 };\nA second fine line stays here."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text_analysis.c4_line_clean(docs).collect()}
+    r1 = got[1]
+    assert r1.clean_text == "This line is kept.\nAnother good line stays!"
+    assert (r1.n_lines_kept, r1.n_lines_total) == (2, 5)
+    assert not r1.doc_flagged
+    assert got[2].doc_flagged      # lorem ipsum marker
+    assert got[3].doc_flagged      # curly-brace boilerplate marker

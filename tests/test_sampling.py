@@ -102,3 +102,29 @@ def test_vocab_topk_total_order(docs_df):
     # 'the' appears twice per doc but counts ONCE per doc (document frequency)
     dfs = {r["token"]: r["df"] for r in out}
     assert dfs["the"] == 200
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from open_source_legislation_spark.operators import sampling
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.stratified_sample(
+        docs, "lang", {"en": 10000, "de": 1000}, default_bps=0
+    )
+    got = [(r.doc_id, r.lang) for r in out.collect()]
+    en = [d for d, lg in got if lg == "en"]
+    de = [d for d, lg in got if lg == "de"]
+    assert len(en) == 1000            # 100% of en kept
+    assert 40 <= len(de) <= 160       # ~10% of 1000 de (md5 bucket spread)
+    # reproducible: same rows on a second run
+    again = sampling.stratified_sample(
+        docs, "lang", {"en": 10000, "de": 1000}, default_bps=0
+    )
+    assert sorted(got) == sorted((r.doc_id, r.lang) for r in again.collect())
+    # unlisted strata get default (0 -> dropped)
+    zh = spark.createDataFrame([(1, "zh")], "doc_id long, lang string")
+    assert (
+        sampling.stratified_sample(zh, "lang", {"en": 10000}, default_bps=0).count()
+        == 0
+    )
