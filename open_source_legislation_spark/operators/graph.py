@@ -108,3 +108,68 @@ def counts_by_level(nodes: DataFrame) -> DataFrame:
 def counts_by_level_status(nodes: DataFrame) -> DataFrame:
     """Validation cube (SURVEY §2.5 note: per-level × per-status counts)."""
     return nodes.cube("level_classifier", "status").agg(F.count("*").alias("n"))
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iters: int = 3,
+    base: int = 1_000_000,
+    damping_ppm: int = 850_000,
+) -> DataFrame:
+    """Node importance over the graph — fixed-iteration PageRank in EXACT
+    integer arithmetic (ranks in micro-units):
+
+        r0(v) = base
+        r_{k+1}(v) = (base - damping) + damping * (sum over in-edges u→v of
+                     r_k(u) DIV outdeg(u)) DIV base
+
+    Every operation is int64 (+, integer division, order-independent
+    sums), so the result is bit-identical across engines, partitionings,
+    and aggregation orders — no float accumulation to diverge on. The
+    structural simplifications (dangling mass not redistributed) are the
+    standard fixed-iteration ones.
+
+    Scale shape: per iteration one shuffle join (edges ⋈ ranks on src) +
+    one partial-aggregated groupBy(dst); ranks frame is one row per node.
+    Duplicate edges and self-loops are removed up front.
+
+    Output: ``(node, rank)`` with rank after ``iters`` iterations.
+    """
+    e = (
+        edges.select(F.col("src"), F.col("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.withColumn("rank", F.lit(base).cast("long"))
+    hold = (base - damping_ppm)
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                # `div` = exact int64 division (not double-div + truncate,
+                # which loses exactness past 2^53)
+                F.expr("rank div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("incoming"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(hold)
+                + F.expr(
+                    f"({damping_ppm}L * coalesce(incoming, 0L)) div {base}L"
+                )
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+    return ranks

@@ -782,6 +782,24 @@ def q_smp_stratified(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Node importance over a deterministic lineitem-derived edge set —
+    fixed-iteration PageRank in EXACT integer micro-units
+    (operators/graph.py pagerank_int): int64 sums and integer division
+    only, so the oracle (the same recurrence unrolled as SQL CTEs) is
+    bit-identical regardless of aggregation order. Graph-analytics
+    completion of the nodes/edges materialization (the reference stores
+    the graph; ranking its hubs is the first query a consumer runs)."""
+    from .operators import graph as graph_ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 300).alias("src"),
+        (F.col("l_partkey") % 300).alias("dst"),
+    )
+    return graph_ops.pagerank_int(edges, iters=3)
+
+
 def q_ta_quality(spark, sf_dir):
     return text_analysis.quality_scores(_t(spark, sf_dir, "documents"))
 
@@ -1524,6 +1542,7 @@ NEVER_DRIVER_VERIFIED: list[str] = [
     "dedup_cluster_keep",  # new in r4 (near-dup clustering + canonical keep)
     "ta_c4_clean",  # new in r4 (C4-style line cleaning)
     "smp_stratified",  # new in r4 (per-stratum deterministic downsampling)
+    "graph_pagerank",  # new in r4 (exact integer PageRank over edges)
 ]
 
 # Dict ORDER is part of the driver contract: the driver's correctness gate
@@ -1544,6 +1563,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_keep": q_dedup_cluster_keep,
     "ta_c4_clean": q_ta_c4_clean,
     "smp_stratified": q_smp_stratified,
+    "graph_pagerank": q_graph_pagerank,
     # -- single-green-row queries: earn their second driver row this round -
     "prj_br_strip": q_prj_br_strip,
     "agg_refhub_merge": q_agg_refhub_merge,
@@ -1587,8 +1607,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "enrich_hash_embed": q_enrich_hash_embed,
     "ta_quality": q_ta_quality,
     "ta_langid": q_ta_langid,
-    "ta_fingerprint": q_ta_fingerprint,
     # -- rotated (position >50): >=2 green driver rows stand as history ----
+    "ta_fingerprint": q_ta_fingerprint,
     "ta_tokens": q_ta_tokens,
     "window_running": q_window_running,
     "ta_tokens_bpe": q_ta_tokens_bpe,
@@ -2180,6 +2200,46 @@ ORACLE_SQL: dict[str, str] = {
                (contains(lower(t), 'lorem ipsum') OR contains(lower(t), '{'))
                  AS doc_flagged
         FROM k
+    """,
+    "graph_pagerank": """
+        WITH e AS (
+          SELECT DISTINCT l_orderkey % 300 AS src, l_partkey % 300 AS dst
+          FROM lineitem WHERE l_orderkey % 300 != l_partkey % 300
+        ), nodes AS (
+          SELECT src AS node FROM e UNION SELECT dst FROM e
+        ), outdeg AS (
+          SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src
+        ), r0 AS (
+          SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes
+        ), r1 AS (
+          SELECT n.node,
+                 CAST(150000 + (850000 * coalesce(i.incoming, 0)) // 1000000
+                      AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank // o.outdeg) AS incoming
+            FROM e JOIN r0 r ON r.node = e.src JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst
+          ) i ON i.node = n.node
+        ), r2 AS (
+          SELECT n.node,
+                 CAST(150000 + (850000 * coalesce(i.incoming, 0)) // 1000000
+                      AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank // o.outdeg) AS incoming
+            FROM e JOIN r1 r ON r.node = e.src JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst
+          ) i ON i.node = n.node
+        ), r3 AS (
+          SELECT n.node,
+                 CAST(150000 + (850000 * coalesce(i.incoming, 0)) // 1000000
+                      AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank // o.outdeg) AS incoming
+            FROM e JOIN r2 r ON r.node = e.src JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst
+          ) i ON i.node = n.node
+        )
+        SELECT node, rank FROM r3
     """,
     "smp_stratified": """
         SELECT doc_id, lang, source

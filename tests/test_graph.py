@@ -86,3 +86,29 @@ def test_version_suffix_determinism(spark, entity_dict_df):
         "conv=c1/section=1.1-v_2",
         "conv=c1/section=1.1-v_3",
     ]
+
+
+def test_pagerank_int_exact_and_hub_ranked(spark):
+    from open_source_legislation_spark.operators import graph
+
+    # star: everyone points at 0, plus a 1->2 edge; 0 must out-rank all
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 0), (1, 2)], "src long, dst long"
+    )
+    got = {r.node: r.rank for r in graph.pagerank_int(edges, iters=3).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert got[0] == max(got.values())
+    assert got[2] > got[1]            # 2 has an in-edge, 1 has none
+    assert got[1] == got[3] == got[4] == 150_000  # no in-edges -> hold mass
+    # exact integer determinism: same values under a different partitioning
+    again = {
+        r.node: r.rank
+        for r in graph.pagerank_int(edges.repartition(7), iters=3).collect()
+    }
+    assert got == again
+    # self-loops and duplicate edges are ignored
+    noisy = spark.createDataFrame(
+        [(1, 0), (1, 0), (0, 0), (2, 0), (3, 0), (4, 0), (1, 2)],
+        "src long, dst long",
+    )
+    assert {r.node: r.rank for r in graph.pagerank_int(noisy, iters=3).collect()} == got
