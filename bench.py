@@ -96,8 +96,12 @@ HEADLINE_CONTRACT = [
     "ta_vocab_topk",
     "smp_pack_budget",
     # round-4: k-means IVF index build (Lloyd loop over a persisted
-    # training frame — one input scan instead of two per iteration)
+    # training frame — one input scan instead of two per iteration),
+    # near-dup clustering (LSH pairs -> CC -> canonical keep), and exact
+    # integer PageRank
     "sim_ivf_build",
+    "dedup_cluster_keep",
+    "graph_pagerank",
 ]
 
 
