@@ -782,6 +782,31 @@ def q_smp_stratified(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def q_join_range_bucketed(spark, sf_dir):
+    """Interval-containment join WITHOUT a cross product
+    (operators/rangejoin.py): part-derived integer intervals
+    ``[p_partkey*5, p_partkey*5+12)`` joined to order-derived points
+    ``o_orderkey % 100000`` via bucket-exploded equi-join + exact
+    re-check; aggregated to matches per interval. The oracle writes the
+    range predicate directly (DuckDB plans the small case natively)."""
+    from .operators import rangejoin
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_partkey") * 5).alias("lo"),
+        (F.col("p_partkey") * 5 + 12).alias("hi"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_orderkey") % 100000).alias("x")
+    )
+    joined = rangejoin.range_join_points(p, o, max_interval_width=64)
+    return joined.groupBy("p_partkey").agg(
+        F.count("*").alias("n_points"),
+        F.min("o_orderkey").alias("min_order"),
+        F.max("o_orderkey").alias("max_order"),
+    )
+
+
 def q_graph_pagerank(spark, sf_dir):
     """Node importance over a deterministic lineitem-derived edge set —
     fixed-iteration PageRank in EXACT integer micro-units
@@ -1543,6 +1568,7 @@ NEVER_DRIVER_VERIFIED: list[str] = [
     "ta_c4_clean",  # new in r4 (C4-style line cleaning)
     "smp_stratified",  # new in r4 (per-stratum deterministic downsampling)
     "graph_pagerank",  # new in r4 (exact integer PageRank over edges)
+    "join_range_bucketed",  # new in r4 (cross-product-free range join)
 ]
 
 # Dict ORDER is part of the driver contract: the driver's correctness gate
@@ -1564,6 +1590,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ta_c4_clean": q_ta_c4_clean,
     "smp_stratified": q_smp_stratified,
     "graph_pagerank": q_graph_pagerank,
+    "join_range_bucketed": q_join_range_bucketed,
     # -- single-green-row queries: earn their second driver row this round -
     "prj_br_strip": q_prj_br_strip,
     "agg_refhub_merge": q_agg_refhub_merge,
@@ -1606,8 +1633,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_ivf": q_sim_topk_ivf,
     "enrich_hash_embed": q_enrich_hash_embed,
     "ta_quality": q_ta_quality,
-    "ta_langid": q_ta_langid,
     # -- rotated (position >50): >=2 green driver rows stand as history ----
+    "ta_langid": q_ta_langid,
     "ta_fingerprint": q_ta_fingerprint,
     "ta_tokens": q_ta_tokens,
     "window_running": q_window_running,
@@ -2200,6 +2227,20 @@ ORACLE_SQL: dict[str, str] = {
                (contains(lower(t), 'lorem ipsum') OR contains(lower(t), '{'))
                  AS doc_flagged
         FROM k
+    """,
+    "join_range_bucketed": """
+        WITH iv AS (
+          SELECT p_partkey, p_partkey * 5 AS lo, p_partkey * 5 + 12 AS hi
+          FROM part
+        ), pt AS (
+          SELECT o_orderkey, o_orderkey % 100000 AS x FROM orders
+        )
+        SELECT iv.p_partkey,
+               count(*) AS n_points,
+               min(pt.o_orderkey) AS min_order,
+               max(pt.o_orderkey) AS max_order
+        FROM iv JOIN pt ON iv.lo <= pt.x AND pt.x < iv.hi
+        GROUP BY iv.p_partkey
     """,
     "graph_pagerank": """
         WITH e AS (

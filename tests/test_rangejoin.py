@@ -1,0 +1,50 @@
+"""Bucketed range join: exact containment semantics, no cross product."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_legislation_spark.operators import rangejoin
+
+
+def _brute(intervals, points):
+    return {
+        (i, p)
+        for i, lo, hi in intervals
+        for p, x in points
+        if lo <= x < hi
+    }
+
+
+def test_range_join_matches_bruteforce_across_bucket_boundaries(spark):
+    # interval widths straddle the bucket width (16): sub-bucket, exact
+    # multiple, and multi-bucket; points sit ON bucket and interval edges
+    intervals = [(1, 0, 5), (2, 10, 26), (3, 16, 32), (4, 7, 100), (5, 40, 40)]
+    points = [(100, 0), (101, 4), (102, 5), (103, 15), (104, 16),
+              (105, 25), (106, 26), (107, 31), (108, 32), (109, 99), (110, 100)]
+    iv = spark.createDataFrame(intervals, "iid long, lo long, hi long")
+    pt = spark.createDataFrame(points, "pid long, x long")
+    out = rangejoin.range_join_points(iv, pt, bucket_width=16)
+    got = {(r.iid, r.pid) for r in out.collect()}
+    assert got == _brute(intervals, points)
+    # the empty interval (5) matched nothing
+    assert not any(i == 5 for i, _ in got)
+
+
+def test_range_join_plan_has_no_cartesian(spark):
+    iv = spark.createDataFrame([(1, 0, 5)], "iid long, lo long, hi long")
+    pt = spark.createDataFrame([(9, 3)], "pid long, x long")
+    plan = (
+        rangejoin.range_join_points(iv, pt)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_width_guard(spark):
+    iv = spark.createDataFrame([(1, 0, 1000)], "iid long, lo long, hi long")
+    pt = spark.createDataFrame([(9, 3)], "pid long, x long")
+    with pytest.raises(ValueError, match="wider"):
+        rangejoin.range_join_points(iv, pt, max_interval_width=64)
