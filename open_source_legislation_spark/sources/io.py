@@ -93,7 +93,12 @@ def write_snapshot(
         except FileExistsError:
             # a racing (or crashed, unpublished) writer holds this id
             version += 1
-    df.write.mode("overwrite").parquet(vdir)
+    # append, NOT overwrite: overwrite would delete-and-recreate the just
+    # claimed directory, reopening the race window the mkdir closed (a
+    # second writer could re-claim mid-delete and both would interleave
+    # part files). The claimed dir is empty and exclusively ours, so
+    # append lands exactly this DataFrame's files.
+    df.write.mode("append").parquet(vdir)
     with open(manifest, "a") as fh:
         fh.write(f"{version}\n")
     return version
