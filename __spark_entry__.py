@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from open_source_legislation_spark.queries import ORACLE_SQL
+    # resolve_oracle_sql materializes the data-dependent oracles
+    # (sim_ivf_build trains its k-means model on the gate data) against
+    # $SPARK_GRAFT_ORACLE_SF_DIR, defaulting to the driver's sf0.01 gate.
+    from open_source_legislation_spark.queries import resolve_oracle_sql
 
-    return dict(ORACLE_SQL)
+    return resolve_oracle_sql()

@@ -1551,6 +1551,13 @@ def q_join_defs_closure(spark, sf_dir):
 # ORACLE_SQL entry — pinned by tests/test_contract_registry.py.
 ROWS_ONLY: set[str] = set()
 
+# DuckDB output types whose pandas conversion diverges from the Spark-side
+# dtype in the driver environment (HUGEINT/DECIMAL render as float64, so a
+# Spark BIGINT `3` hashes against an oracle `3.000000`). Single source of
+# truth for scripts/audit_oracle_types.py and
+# tests/test_contract_registry.py — the two copies drifted once already.
+ORACLE_TYPE_HAZARDS: tuple[str, ...] = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
 # The driver's correctness gate checks exactly this many leading dict
 # entries per round.
 DRIVER_WINDOW = 50
@@ -1716,22 +1723,56 @@ WITH toks AS (
 """
 
 
-def _ivf_oracle_sql(
-    sf_dir: str = "/root/testdata/sf0.01", k: int = 8, iters: int = 2
-) -> str:
+# Sentinel value in ORACLE_SQL for oracles that must be trained on the
+# gate-scale data at CALL time (not import time) — resolved by
+# resolve_oracle_sql(). Keeping the sentinel in the static dict keeps the
+# registry-shape tests (query<->oracle set equality) on plain dict
+# semantics.
+_LAZY_IVF_ORACLE = "__lazy__:sim_ivf_build"
+
+# Materialized lazy oracles, keyed by the sf_dir they were trained on.
+_IVF_ORACLE_CACHE: dict[str, str] = {}
+
+
+def resolve_oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    """The ORACLE_SQL registry with data-DEPENDENT oracles materialized.
+
+    ``sim_ivf_build``'s oracle embeds a k-means model trained on the gate
+    data, so it cannot be a static string: training at import time would
+    (a) make ``import queries`` fail on any host without the gate parquet
+    and (b) freeze the model to one dataset while the Spark side follows
+    the runtime ``sf_dir``. This resolves it lazily, trained on ``sf_dir``
+    (default: ``$SPARK_GRAFT_ORACLE_SF_DIR`` or the driver's gate scale
+    sf0.01), cached per directory."""
+    import os
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    out = dict(ORACLE_SQL)
+    if out.get("sim_ivf_build") == _LAZY_IVF_ORACLE:
+        if sf_dir not in _IVF_ORACLE_CACHE:
+            _IVF_ORACLE_CACHE[sf_dir] = _ivf_oracle_sql(sf_dir)
+        out["sim_ivf_build"] = _IVF_ORACLE_CACHE[sf_dir]
+    return out
+
+
+def _ivf_oracle_sql(sf_dir: str, k: int = 8, iters: int = 2) -> str:
     """DuckDB oracle for ``sim_ivf_build``, the `_ann_lsh_sql` pattern
     extended to a data-DEPENDENT model: replicate the deterministic Lloyd
     loop (init = k smallest vec_id, expanded-form L2 argmin assignment,
     per-cell mean update, empty cells keep their centroid) in numpy over
-    the driver's gate-scale parquet at registration time, then embed the
-    FINAL centroids as SQL literals so the oracle itself computes each
-    vector's argmin-distance cell and aggregates the histogram.
+    ``sf_dir``'s parquet at resolve time, then embed the FINAL centroids
+    as SQL literals so the oracle itself computes each vector's
+    argmin-distance cell and aggregates the histogram.
 
-    Valid at the driver's gate scale (sf0.01) only — the centroids are a
-    trained model, so a different input yields a different model. The
-    Spark-vs-numpy training equivalence is separately pinned by
-    tests/test_ivf.py; argmin ties break to the first (lowest) cell on
-    both sides (np.argmin / list_indexof-of-min).
+    The centroids are a trained model, so the oracle is only valid against
+    the same ``sf_dir`` the Spark side reads — resolve_oracle_sql() keeps
+    the two in lock-step (training at import time would also break every
+    import on a host without the gate parquet). The Spark-vs-numpy
+    training equivalence is separately pinned by tests/test_ivf.py; argmin
+    ties break to the first (lowest) cell on both sides (np.argmin /
+    list_indexof-of-min).
     """
     import numpy as np
     import pyarrow.parquet as pq
@@ -2200,15 +2241,19 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY cos DESC, b.vec_id LIMIT 10
     """,
     "sim_ann_lsh": _ann_lsh_sql().format(cos=_COS_EXPR),
-    "sim_ivf_build": _ivf_oracle_sql(),
+    "sim_ivf_build": _LAZY_IVF_ORACLE,
     "ta_c4_clean": """
         WITH built AS (
           SELECT doc_id,
-                 'The first line looks good.' || chr(10) ||
-                 text || '.' || chr(10) ||
-                 text || chr(10) ||
-                 'tiny.' || chr(10) ||
-                 'This line uses javascript sadly.' AS t
+                 -- concat_ws, NOT ||: both engines must SKIP null lines
+                 -- (Spark's concat_ws drops null elements; || would
+                 -- nullify the whole document on a null text row)
+                 concat_ws(chr(10),
+                   'The first line looks good.',
+                   text || '.',
+                   text,
+                   'tiny.',
+                   'This line uses javascript sadly.') AS t
           FROM documents
         ), ln AS (
           SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM built

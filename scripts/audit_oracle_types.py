@@ -31,11 +31,18 @@ TABLES = [
     "embeddings",
 ]
 
-HAZARDS = ("HUGEINT", "UHUGEINT")
-
-
 def main(sf_dir: str) -> int:
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import __spark_entry__ as entrymod
+
+    # single source of truth, shared with tests/test_contract_registry.py
+    # (the two hazard lists drifted once: DECIMAL landed only in the test)
+    from open_source_legislation_spark.queries import (
+        ORACLE_TYPE_HAZARDS as HAZARDS,
+    )
 
     con = duckdb.connect()
     for t in TABLES:

@@ -59,6 +59,11 @@ def _spark_class(t: str) -> str:
 
 
 def main(sf_dir: str) -> int:
+    import os
+
+    # keep data-dependent oracles (sim_ivf_build) trained on this sf_dir
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import __spark_entry__ as entrymod
     from open_source_legislation_spark.session import get_spark
 

@@ -50,6 +50,12 @@ def frame_summary(cols, rows):
 
 
 def main(sf_dir: str, only: list[str]) -> int:
+    import os
+
+    # data-dependent oracles (sim_ivf_build's trained centroids) must be
+    # resolved against the SAME directory the Spark side reads
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import __spark_entry__ as entrymod
     from open_source_legislation_spark.session import get_spark
 

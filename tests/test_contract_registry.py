@@ -53,9 +53,17 @@ def test_no_oracle_output_column_is_hugeint():
     """DuckDB ``sum()`` over integers yields HUGEINT; the driver's pandas
     conversion renders HUGEINT as float64, so a Spark BIGINT ``3`` and an
     oracle ``3.000000`` hash-mismatch *only in the driver environment*
-    (the sole cause of window_session's three-round red). Every oracle
-    output column must DESCRIBE to a non-HUGEINT type."""
+    (the sole cause of window_session's three-round red). DECIMAL is the
+    same hazard class. Every oracle output column must DESCRIBE to a
+    non-hazard type; the hazard list is shared with
+    scripts/audit_oracle_types.py (ORACLE_TYPE_HAZARDS) so the two guards
+    cannot drift."""
     import duckdb
+
+    from open_source_legislation_spark.queries import (
+        ORACLE_TYPE_HAZARDS,
+        resolve_oracle_sql,
+    )
 
     con = duckdb.connect()
     sf_dir = "/root/testdata/sf0.001"
@@ -67,18 +75,15 @@ def test_no_oracle_output_column_is_hugeint():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     hazards = {}
-    for name, sql in ORACLE_SQL.items():
+    for name, sql in resolve_oracle_sql().items():
         desc = con.sql(f"DESCRIBE ({sql})").fetchall()
-        # DECIMAL is the same hazard class: DuckDB DECIMAL -> pandas
-        # float64 while Spark decimal -> Decimal objects, so formatting
-        # diverges in the driver only
         bad = [
             (c, ty)
             for c, ty, *_ in desc
-            if "HUGEINT" in ty.upper() or "DECIMAL" in ty.upper()
+            if any(h in ty.upper() for h in ORACLE_TYPE_HAZARDS)
         ]
         if bad:
             hazards[name] = bad
     assert not hazards, (
-        f"HUGEINT/DECIMAL-typed oracle outputs (driver float64 trap): {hazards}"
+        f"hazard-typed oracle outputs (driver float64 trap): {hazards}"
     )
