@@ -123,11 +123,15 @@ def pagerank_int(
         r_{k+1}(v) = (base - damping) + damping * (sum over in-edges u→v of
                      r_k(u) DIV outdeg(u)) DIV base
 
-    Every operation is int64 (+, integer division, order-independent
-    sums), so the result is bit-identical across engines, partitionings,
-    and aggregation orders — no float accumulation to diverge on. The
-    structural simplifications (dangling mass not redistributed) are the
-    standard fixed-iteration ones.
+    Every operation is exact integer arithmetic (int64 ranks; the
+    per-node in-mass sum and its damping multiply run in DECIMAL(38,0),
+    matching the oracle's HUGEINT headroom so a ~1e7-in-edge hub cannot
+    silently wrap int64), so the result is bit-identical across engines,
+    partitionings, and aggregation orders — no float accumulation to
+    diverge on. Ranks themselves stay within int64 up to ~1e13 nodes
+    (total mass N·base ≤ 9.2e18). The structural simplifications
+    (dangling mass not redistributed) are the standard fixed-iteration
+    ones.
 
     Scale shape: per iteration one shuffle join (edges ⋈ ranks on src) +
     one partial-aggregated groupBy(dst); ranks frame is one row per node.
@@ -159,14 +163,24 @@ def pagerank_int(
                 F.expr("rank div outdeg").alias("c"),
             )
             .groupBy("node")
-            .agg(F.sum("c").alias("incoming"))
+            # DECIMAL(38,0) accumulation: a hub with ~1e7+ in-edges pushes
+            # `incoming` (and damping_ppm * incoming) past int64, which
+            # Spark would WRAP silently with ANSI off while the exact
+            # oracle (HUGEINT) keeps going — decimal(38,0) gives the same
+            # 128-bit headroom on the Spark side. `DIV` on decimal
+            # operands is exact integral division returning long; the
+            # quotient (≈ 0.85 × incoming ≤ 0.85 × total mass = N·base)
+            # fits int64 up to N ≈ 1e13 nodes, past the 1e12 design point.
+            .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("incoming"))
         )
         ranks = nodes.join(contrib, "node", "left").select(
             "node",
             (
                 F.lit(hold)
                 + F.expr(
-                    f"({damping_ppm}L * coalesce(incoming, 0L)) div {base}L"
+                    f"(CAST({damping_ppm} AS DECIMAL(38,0))"
+                    f" * coalesce(incoming, CAST(0 AS DECIMAL(38,0))))"
+                    f" div {base}L"
                 )
             )
             .cast("long")
