@@ -181,13 +181,21 @@ class CheckpointedRunner:
                     f"(and the manifest) or restore the original bucket "
                     f"count — reusing it would mislabel every bucket"
                 )
-            incoming = transcripts.count()
-            if meta["rows"] != incoming:
+            incoming = self._input_fingerprint(transcripts)
+            # a row count alone passes when the out_dir is re-pointed at
+            # DIFFERENT input of equal size — exactly the silent-stale
+            # failure this guard exists to close, so compare content too
+            if meta["rows"] != incoming["rows"] or meta.get(
+                "xor_crc32"
+            ) != incoming["xor_crc32"]:
                 raise ValueError(
                     f"checkpoint resume: materialized input at {path} holds "
-                    f"{meta['rows']} rows but the incoming transcripts have "
-                    f"{incoming}; the out_dir points at different input — "
-                    f"clear it instead of silently resuming"
+                    f"rows={meta['rows']} xor_crc32={meta.get('xor_crc32')} "
+                    f"but the incoming transcripts fingerprint as "
+                    f"rows={incoming['rows']} xor_crc32="
+                    f"{incoming['xor_crc32']}; the out_dir points at "
+                    f"different input — clear it instead of silently "
+                    f"resuming over stale buckets"
                 )
             return
         bucketed = transcripts.withColumn(
@@ -199,11 +207,46 @@ class CheckpointedRunner:
             .partitionBy("_bucket")
             .parquet(path)
         )
-        meta = {"num_buckets": self.num_buckets, "rows": self._parquet_rows(path)}
+        meta = {
+            "num_buckets": self.num_buckets,
+            **self._input_fingerprint(transcripts),
+        }
+        if meta["rows"] != self._parquet_rows(path):
+            raise RuntimeError(
+                f"materialized input at {path} lost rows in flight: "
+                f"incoming {meta['rows']} vs written "
+                f"{self._parquet_rows(path)}"
+            )
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(meta, fh)
         os.replace(tmp, meta_path)
+
+    @staticmethod
+    def _input_fingerprint(transcripts: DataFrame) -> dict:
+        """Order-independent content fingerprint of the input in ONE
+        aggregate scan: row count + bit-XOR of per-row crc32 over the
+        identity columns (conv_id, turn_idx, text). XOR is commutative so
+        the value is partitioning-independent; combined with the count it
+        detects an out_dir re-pointed at different-content input of equal
+        size (the rows-only check could not)."""
+        row = transcripts.select(
+            F.count("*").alias("n"),
+            F.bit_xor(
+                F.crc32(
+                    F.concat_ws(
+                        "\x1f",
+                        F.col("conv_id"),
+                        F.col("turn_idx"),
+                        F.coalesce(F.col("text"), F.lit("")),
+                    )
+                )
+            ).alias("h"),
+        ).first()
+        return {
+            "rows": int(row["n"]),
+            "xor_crc32": int(row["h"]) if row["h"] is not None else 0,
+        }
 
     def _run_bucket(self, entity_dict: DataFrame, b: int) -> BucketStats:
         """One bucket end-to-end. rows_out comes from the committed parquet

@@ -66,6 +66,26 @@ def test_resume_with_different_input_refused(
         again.run(other, entity_dict_df)
 
 
+def test_resume_with_same_count_different_content_refused(
+    spark, transcripts_df, entity_dict_df, tmp_path_factory
+):
+    """The stale-input guard must be a CONTENT fingerprint, not a row
+    count: an out_dir re-pointed at equal-sized but different input is
+    exactly the silent-stale-resume failure mode."""
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path_factory.mktemp("ckpt_cfp"))
+    CheckpointedRunner(spark, out, run_id="a", num_buckets=2).run(
+        transcripts_df, entity_dict_df
+    )
+    mutated = transcripts_df.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" CHANGED"))
+    )
+    again = CheckpointedRunner(spark, out, run_id="b", num_buckets=2)
+    with pytest.raises(ValueError, match="different input"):
+        again.run(mutated, entity_dict_df)
+
+
 def test_metrics_ledger(spark, transcripts_df, entity_dict_df, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("ckpt_m"))
     runner = CheckpointedRunner(spark, out, run_id="m1", num_buckets=2)
