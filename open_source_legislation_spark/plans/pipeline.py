@@ -53,8 +53,13 @@ class PipelineResult:
         applicable_defs_fn: Callable[[], DataFrame],
         rewritten_fn: Callable[[], DataFrame],
         spill_dir: str | None = None,
+        extra_persists: list[DataFrame] | None = None,
     ) -> None:
         self.turns = turns
+        # additional cached frames backing `turns` (the sharded engine's
+        # per-round DISK_ONLY caches in persist mode) — released by
+        # cleanup() alongside the main frame
+        self._extra_persists = list(extra_persists or [])
         self._fns = {
             "mentions": mentions_fn,
             "definitions": definitions_fn,
@@ -109,6 +114,12 @@ class PipelineResult:
             self.turns.unpersist()
         except Exception:  # noqa: BLE001 — non-cached frame
             pass
+        for cached in self._extra_persists:
+            try:
+                cached.unpersist()
+            except Exception:  # noqa: BLE001 — already released
+                pass
+        self._extra_persists = []
         if self.spill_dir:
             import shutil
 
@@ -322,15 +333,19 @@ def run_pipeline(
         )
         derived = extract.derive_nodes(ordered)
     spill_dir = None
+    # the sharded engine's per-round DISK_ONLY caches back the derived
+    # plan; in parquet mode they are subsumed by the spill copy and
+    # released here, in persist mode they must live as long as the result
+    # and are handed to PipelineResult.cleanup()
+    shard_persists = list(getattr(derived, "_osl_shard_persists", []))
     if spill == "parquet" and engine == "stream":
         import tempfile
 
         spill_dir = tempfile.mkdtemp(prefix="osl_derived_")
         derived.write.mode("overwrite").parquet(spill_dir)
-        # the sharded engine's per-round DISK_ONLY caches are subsumed by
-        # the parquet copy just written — release them
-        for cached in getattr(derived, "_osl_shard_persists", []):
+        for cached in shard_persists:
             cached.unpersist()
+        shard_persists = []
         # explicit schema: an empty input writes no part files, and the
         # schema must survive that
         derived = spark.read.schema(extract._DERIVED_SCHEMA).parquet(spill_dir)
@@ -486,4 +501,5 @@ def run_pipeline(
         applicable_defs_fn=_applicable_defs,
         rewritten_fn=lambda: _rewritten_turns(derived, _linked()),
         spill_dir=spill_dir,
+        extra_persists=shard_persists,
     )
