@@ -46,25 +46,34 @@ def range_join_points(
 
     Output: all columns of ``intervals`` + all columns of ``points``.
     """
-    if max_interval_width is not None:
-        too_wide = intervals.filter(
-            (F.col(hi_col) - F.col(lo_col)) > max_interval_width
-        ).limit(1)
-        if too_wide.count():
-            raise ValueError(
-                f"range_join_points: interval wider than "
-                f"max_interval_width={max_interval_width}; split it upstream"
-            )
     b = F.lit(bucket_width)
     # empty intervals ([lo, lo)) match nothing; dropping them also keeps
     # sequence() ascending (Spark generates a DESCENDING sequence when
     # start > stop, which would fabricate buckets)
     intervals = intervals.filter(F.col(hi_col) > F.col(lo_col))
+    lo_bucket = F.floor(F.col(lo_col) / b)
+    if max_interval_width is not None:
+        # lazy in-plan guard: assert_true raises AT EXECUTION on the first
+        # too-wide interval instead of paying an eager full scan of
+        # `intervals` at plan-construction time (an entire extra input
+        # pass at scale). Folded into the bucket expression (NULL + 0 when
+        # the assert passes) so column pruning cannot drop it.
+        lo_bucket = lo_bucket + F.coalesce(
+            F.assert_true(
+                (F.col(hi_col) - F.col(lo_col)) <= max_interval_width,
+                F.lit(
+                    f"range_join_points: interval wider than "
+                    f"max_interval_width={max_interval_width}; split it "
+                    f"upstream"
+                ),
+            ).cast("long"),
+            F.lit(0),
+        )
     iv = intervals.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col(lo_col) / b),
+                lo_bucket,
                 F.floor((F.col(hi_col) - 1) / b),
             )
         ),

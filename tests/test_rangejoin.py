@@ -46,5 +46,11 @@ def test_range_join_plan_has_no_cartesian(spark):
 def test_range_join_width_guard(spark):
     iv = spark.createDataFrame([(1, 0, 1000)], "iid long, lo long, hi long")
     pt = spark.createDataFrame([(9, 3)], "pid long, x long")
-    with pytest.raises(ValueError, match="wider"):
-        rangejoin.range_join_points(iv, pt, max_interval_width=64)
+    # the guard is lazy (in-plan assert_true): plan construction costs no
+    # input scan; the raise surfaces when the plan executes
+    out = rangejoin.range_join_points(iv, pt, max_interval_width=64)
+    with pytest.raises(Exception, match="wider"):
+        out.collect()
+    # a conforming input flows through the guarded plan unchanged
+    ok = rangejoin.range_join_points(iv, pt, max_interval_width=2000)
+    assert {(r.iid, r.pid) for r in ok.collect()} == {(1, 9)}
