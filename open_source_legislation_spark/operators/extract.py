@@ -758,20 +758,26 @@ def derive_nodes_sharded(
 
     from pyspark import StorageLevel
 
+    # ONE aggregation pass decides everything driver-side: which
+    # conversations are oversized AND how many rounds their longest needs.
+    # (Re-deriving the groupBy for the broadcast frames / round count
+    # would re-scan the full input up to four times — the collected rows
+    # are already on the driver, so the join sides are built from them.)
     mx = transcripts.groupBy("conv_id").agg(F.max("turn_idx").alias("_mx"))
-    big = mx.filter(F.col("_mx") >= shard_turns).select("conv_id")
-    big_ids = [r.conv_id for r in big.collect()]
+    big_rows = mx.filter(F.col("_mx") >= shard_turns).collect()
+    big_ids = [r.conv_id for r in big_rows]
     if not big_ids:
         return derive_nodes_stream(transcripts, num_partitions)
 
+    big = transcripts.sparkSession.createDataFrame(
+        [(c,) for c in big_ids], schema="conv_id string"
+    )
     small = transcripts.join(F.broadcast(big), "conv_id", "left_anti")
     bigt = transcripts.join(F.broadcast(big), "conv_id", "inner")
     parts = [derive_nodes_stream(small, num_partitions)]
     persisted = []
 
-    n_rounds = (
-        int(bigt.agg(F.max(F.floor(F.col("turn_idx") / shard_turns))).first()[0]) + 1
-    )
+    n_rounds = max(int(r._mx) for r in big_rows) // shard_turns + 1
     entry: dict[str, dict] = {}
     for s in range(n_rounds):
         shard = bigt.filter(
