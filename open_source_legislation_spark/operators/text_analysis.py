@@ -171,7 +171,10 @@ def c4_line_clean(
     n_lines_total, doc_flagged`` (lorem-ipsum / curly-brace documents are
     flagged, not silently dropped — the caller decides).
     """
-    lines = F.split(F.col("text"), line_sep)
+    # F.split takes a Java REGEX while concat_ws re-joins with the literal
+    # string — quote the separator (\Q..\E) so a metacharacter separator
+    # ('|', '.') splits on the literal text, matching the re-join
+    lines = F.split(F.col("text"), "\\Q" + line_sep + "\\E")
     kept = F.filter(
         lines,
         lambda ln: ln.rlike(r"""[.!?"']\s*$""")

@@ -169,3 +169,33 @@ def test_c4_line_clean_rules(spark):
     assert not r1.doc_flagged
     assert got[2].doc_flagged      # lorem ipsum marker
     assert got[3].doc_flagged      # curly-brace boilerplate marker
+
+
+def test_c4_line_clean_metachar_separator(spark):
+    """line_sep is used as a LITERAL in both the split and the re-join —
+    a regex metacharacter separator ('|') must not split per-character."""
+    from open_source_legislation_spark.operators import text_analysis
+
+    docs = spark.createDataFrame(
+        [(1, "This line is kept.|no terminal punct|Another good line stays!")],
+        "doc_id long, text string",
+    )
+    r = text_analysis.c4_line_clean(docs, line_sep="|").collect()[0]
+    assert r.n_lines_total == 3
+    assert r.clean_text == "This line is kept.|Another good line stays!"
+    assert r.n_lines_kept == 2
+
+
+def test_c4_line_clean_null_text(spark):
+    """NULL text yields an empty-ish row, not a poisoned NULL cascade."""
+    from open_source_legislation_spark.operators import text_analysis
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "A good line stands here.")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text_analysis.c4_line_clean(docs).collect()}
+    assert got[2].n_lines_kept == 1
+    # null in, null lines out (split(NULL) is NULL): counts are null, the
+    # flag is null — no exception and no fabricated content
+    assert got[1].clean_text in ("", None)
