@@ -1,7 +1,8 @@
-"""Range (interval-containment) join — a join shape Spark has no native
-operator for, composed from existing DataFrame ops (the task's canonical
-"custom operator" case alongside the as-of join in
-``extract.derive_nodes``'s window formulation).
+"""Custom join shapes Spark has no native operator for — the range
+(interval-containment) join and the as-of join — composed from existing
+DataFrame ops (the task's canonical "custom operator" case; the as-of
+pattern also powers ``extract.derive_nodes``'s window formulation
+internally, exposed here as a standalone operator).
 
 Naive formulations become a ``CartesianProduct`` + filter (Catalyst cannot
 equi-plan ``lo <= x AND x < hi``) — quadratic at scale. The bucketed
@@ -83,4 +84,73 @@ def range_join_points(
         iv.join(pt, "_bucket")
         .filter((F.col(lo_col) <= F.col(x_col)) & (F.col(x_col) < F.col(hi_col)))
         .drop("_bucket")
+    )
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """As-of join: attach to each left row the LATEST right row with
+    ``right_ts <= left_ts`` in the same ``on`` group (backward-inclusive
+    — a right row AT the left timestamp matches). Left rows with no
+    earlier right row keep NULL payload columns.
+
+    The naive formulation (``JOIN ON key = key AND r.ts <= l.ts`` +
+    keep-latest) is an inequality join — per-key quadratic blowup at
+    scale. This is the union-window composition instead:
+
+    1. union both sides, right rows tagged 0 / left rows tagged 1, right
+       payload packed in ONE struct column (so every output column comes
+       from the SAME matched row, never a mix);
+    2. ``last(payload_struct, ignorenulls=True)`` over
+       ``partition by on order by (ts, tag, payload_struct) rows
+       unbounded preceding`` — at a left row that is exactly the latest
+       right row at-or-before it;
+    3. keep the left rows, unpack the struct.
+
+    ONE hash exchange on ``on`` + one in-partition sort — shuffle volume
+    is |left| + |right| regardless of key skew in the time dimension.
+    If several right rows share (on, right_ts), the one with the
+    greatest payload struct wins (deterministic total order).
+
+    Output: all ``left`` columns + the ``payload`` columns (names must
+    not collide with left's).
+    """
+    from pyspark.sql.window import Window
+
+    payload = payload or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    clash = set(payload) & set(left.columns)
+    if clash:
+        raise ValueError(f"asof_join_backward: payload collides with left: {clash}")
+
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_asof_ts"),
+        F.struct(*[F.col(c) for c in payload]).alias("_asof_p"),
+        F.lit(0).alias("_asof_tag"),
+    )
+    ptype = r.schema["_asof_p"].dataType
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(None).cast(ptype).alias("_asof_p"),
+        F.lit(1).alias("_asof_tag"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_asof_ts", "_asof_tag", "_asof_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("_asof_m", F.last("_asof_p", ignorenulls=True).over(w))
+    return matched.filter(F.col("_asof_tag") == 1).select(
+        *left.columns,
+        *[F.col(f"_asof_m.{c}").alias(c) for c in payload],
     )

@@ -54,3 +54,47 @@ def test_range_join_width_guard(spark):
     # a conforming input flows through the guarded plan unchanged
     ok = rangejoin.range_join_points(iv, pt, max_interval_width=2000)
     assert {(r.iid, r.pid) for r in ok.collect()} == {(1, 9)}
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, "k1", 10), (2, "k1", 5), (3, "k1", 4), (4, "k2", 7), (5, "k3", 1)],
+        "event_id long, key string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("k1", 5, 100), ("k1", 9, 200), ("k1", 11, 300),
+         ("k2", 7, 400), ("k2", 8, 500)],
+        "key string, ts long, quote long",
+    )
+    out = rangejoin.asof_join_backward(
+        left, right, on="key", left_ts="ts", right_ts="ts", payload=["quote"]
+    )
+    rows = sorted((r.event_id, r.quote) for r in out.collect())
+    # backward-INCLUSIVE: event 4 at ts=7 matches the quote AT ts=7;
+    # events 3 and 5 precede every quote in their group -> NULL
+    assert rows == [(1, 200), (2, 100), (3, None), (4, 400), (5, None)]
+
+
+def test_asof_join_equal_ts_tiebreak_and_collision_guard(spark):
+    left = spark.createDataFrame([(1, "k1", 10)], "event_id long, key string, ts long")
+    right = spark.createDataFrame(
+        [("k1", 5, 100), ("k1", 5, 150)], "key string, ts long, quote long"
+    )
+    out = rangejoin.asof_join_backward(left, right, on="key", payload=["quote"])
+    assert out.collect()[0].quote == 150  # greatest payload wins the tie
+    bad_left = left.withColumnRenamed("event_id", "quote")
+    with pytest.raises(ValueError, match="collides"):
+        rangejoin.asof_join_backward(bad_left, right, on="key", payload=["quote"])
+
+
+def test_asof_join_is_single_exchange(spark):
+    """The whole point vs an inequality join: ONE shuffle on the key,
+    no join operator at all in the physical plan."""
+    left = spark.createDataFrame([(1, "k1", 10)], "event_id long, key string, ts long")
+    right = spark.createDataFrame([("k1", 5, 100)], "key string, ts long, quote long")
+    plan = (
+        rangejoin.asof_join_backward(left, right, on="key", payload=["quote"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
