@@ -187,3 +187,71 @@ def pagerank_int(
             .alias("rank"),
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over the undirected graph — the
+    standard degree-ordered (compact-forward) formulation that keeps the
+    join fan-out bounded on skewed graphs.
+
+    1. canonicalize to undirected distinct edges (u < v, no self-loops);
+    2. orient every edge from its LOWER-(degree, id) endpoint to the
+       higher — a hub of degree d keeps at most its d higher-ranked
+       neighbors as out-edges, so the wedge join below fans out
+       O(Σ min(deg)²-ish) instead of O(Σ deg²): the classic bound that
+       makes triangle counting survive power-law skew;
+    3. wedges: oriented ⋈ oriented on the middle vertex;
+    4. close: wedge (a→b→c) survives iff oriented edge (a→c) exists —
+       an equi-join on BOTH endpoints, never a cross product;
+    5. explode the 3 corners and count per node (zero-triangle nodes are
+       kept via a left join back to the node set).
+
+    Every triangle is produced exactly once (its corners are totally
+    ordered by (degree, id)). Output: ``(node, n_triangles: bigint)``.
+    """
+    und = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("u"),
+            F.greatest(F.col("src"), F.col("dst")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+    )
+    wedges = (
+        o.select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .join(o.select(F.col("x").alias("b"), F.col("y").alias("c")), "b")
+    )
+    tri = wedges.join(
+        o.select(F.col("x").alias("a"), F.col("y").alias("c")), ["a", "c"]
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return nodes.join(per_node, "node", "left").select(
+        "node",
+        F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias("n_triangles"),
+    )

@@ -112,3 +112,23 @@ def test_pagerank_int_exact_and_hub_ranked(spark):
         "src long, dst long",
     )
     assert {r.node: r.rank for r in graph.pagerank_int(noisy, iters=3).collect()} == got
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    from itertools import combinations
+    import random
+
+    from open_source_legislation_spark.operators.graph import triangle_counts
+
+    rng = random.Random(7)
+    edges = {(rng.randrange(20), rng.randrange(20)) for _ in range(120)}
+    e = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(e).collect()}
+    und = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    nodes = {x for p in und for x in p}
+    brute = {n: 0 for n in nodes}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if (a, b) in und and (b, c) in und and (a, c) in und:
+            for x in (a, b, c):
+                brute[x] += 1
+    assert got == brute
