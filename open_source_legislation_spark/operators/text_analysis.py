@@ -189,3 +189,44 @@ def c4_line_clean(
         F.size(lines).alias("n_lines_total"),
         (low.contains("lorem ipsum") | low.contains("{")).alias("doc_flagged"),
     )
+
+
+def tfidf_score_int(
+    docs: DataFrame, query_tokens: list[str], scale: int = 1_000_000
+) -> DataFrame:
+    """Integer-exact TF-IDF relevance of every document against a fixed
+    query token set (the training-data-pipeline "relevance filter" shape:
+    score a corpus against a topic vocabulary, keep the top slice).
+
+    ``score(doc) = Σ_{t ∈ query} tf(doc, t) · (scale div df(t))`` —
+    idf ∝ 1/df in fixed-point: the corpus-size constant N in the
+    classical N/df numerator cancels for ranking, and dropping it keeps
+    every intermediate far inside int64 (weight ≤ scale, score ≤
+    |doc| · scale) while making the arithmetic bit-identical across
+    engines — no log(), no floats, no rounding ties.
+
+    Scale shape: ONE explode+filter pass over the text (the token filter
+    prunes to query tokens before any shuffle), one (doc_id, tok) partial
+    aggregate, a broadcast join of the ≤|query|-row df table, one final
+    doc_id aggregate. Docs containing no query token score 0 (left join
+    back to the corpus), so the output is total over ``docs``.
+
+    Output: ``(doc_id, score: bigint)``.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok").isin([t.lower() for t in query_tokens]))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("_tf"))
+    dfc = tf.groupBy("tok").agg(F.count("*").alias("_df"))
+    w = dfc.select("tok", F.expr(f"({scale}L) div _df").alias("_w"))
+    scored = (
+        tf.join(F.broadcast(w), "tok")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("_tf") * F.col("_w")).alias("score"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("score"), F.lit(0).cast("long")).alias("score"))
+    )

@@ -199,3 +199,20 @@ def test_c4_line_clean_null_text(spark):
     # null in, null lines out (split(NULL) is NULL): counts are null, the
     # flag is null — no exception and no fabricated content
     assert got[1].clean_text in ("", None)
+
+
+def test_tfidf_score_int_exact(spark):
+    from open_source_legislation_spark.operators import text_analysis
+
+    docs = spark.createDataFrame(
+        [(1, "the law of the land"), (2, "law and order"),
+         (3, "nothing relevant here"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.score
+        for r in text_analysis.tfidf_score_int(docs, ["the", "law"]).collect()
+    }
+    # df(the)=1 -> w=1_000_000; df(law)=2 -> w=500_000
+    # doc1: 2*1e6 + 1*5e5; doc2: 5e5; docs 3/4: no query tokens -> 0
+    assert out == {1: 2_500_000, 2: 500_000, 3: 0, 4: 0}
