@@ -102,6 +102,9 @@ HEADLINE_CONTRACT = [
     "sim_ivf_build",
     "dedup_cluster_keep",
     "graph_pagerank",
+    # degree-ordered triangle counting and the union+window as-of join
+    "graph_triangles",
+    "join_asof",
 ]
 
 

@@ -825,6 +825,64 @@ def q_graph_pagerank(spark, sf_dir):
     return graph_ops.pagerank_int(edges, iters=3)
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Per-node triangle counts over a lineitem-derived undirected graph
+    (operators/graph.py triangle_counts): degree-ordered orientation so
+    the wedge join fans out on the LOW-degree endpoint — the composition
+    that survives power-law skew. The oracle enumerates triangles
+    directly over the canonical u<v edge set (each triangle once as
+    a<b<c)."""
+    from .operators import graph as graph_ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 1000).alias("src"),
+        (F.col("l_partkey") % 1000).alias("dst"),
+    )
+    return graph_ops.triangle_counts(edges)
+
+
+def q_join_asof(spark, sf_dir):
+    """As-of join (operators/rangejoin.py asof_join_backward): each event
+    picks the latest order-derived quote at-or-before its timestamp in
+    the same key group — union + window composition (ONE exchange),
+    never an inequality join. The quote side is deduped to unique
+    (key, ts) with max-orderkey so both engines' tie semantics coincide;
+    the oracle formulates it independently as a lateral latest-row pick
+    (row_number over the inequality join, which DuckDB plans natively
+    at gate scale)."""
+    from .operators import rangejoin
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 20).alias("key"), "ts"
+    )
+    quotes = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_custkey") % 20).alias("key"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderkey").alias("quote"),
+        )
+        .groupBy("key", "ts")
+        .agg(F.max("quote").alias("quote"))
+    )
+    joined = rangejoin.asof_join_backward(
+        ev, quotes, on="key", left_ts="ts", right_ts="ts", payload=["quote"]
+    )
+    return joined.select("event_id", "key", "quote")
+
+
+def q_ta_tfidf_topk(spark, sf_dir):
+    """Integer-exact TF-IDF relevance scoring against a fixed query
+    vocabulary (operators/text_analysis.py tfidf_score_int) — the
+    training-data relevance-filter shape. Top 20 documents by
+    (score desc, doc_id): idf is fixed-point 1/df (no log, no floats),
+    so the ranking is bit-identical across engines."""
+    d = _t(spark, sf_dir, "documents")
+    scored = text_analysis.tfidf_score_int(d, ["dup", "hash", "join", "vector"])
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(20)
+
+
 def q_ta_quality(spark, sf_dir):
     return text_analysis.quality_scores(_t(spark, sf_dir, "documents"))
 
@@ -1576,6 +1634,9 @@ NEVER_DRIVER_VERIFIED: list[str] = [
     "smp_stratified",  # new in r4 (per-stratum deterministic downsampling)
     "graph_pagerank",  # new in r4 (exact integer PageRank over edges)
     "join_range_bucketed",  # new in r4 (cross-product-free range join)
+    "graph_triangles",  # new in r4 (degree-ordered triangle counting)
+    "join_asof",  # new in r4 (as-of join via union+window, one exchange)
+    "ta_tfidf_topk",  # new in r4 (integer-exact tf-idf relevance top-k)
 ]
 
 # Dict ORDER is part of the driver contract: the driver's correctness gate
@@ -1598,6 +1659,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "smp_stratified": q_smp_stratified,
     "graph_pagerank": q_graph_pagerank,
     "join_range_bucketed": q_join_range_bucketed,
+    "graph_triangles": q_graph_triangles,
+    "join_asof": q_join_asof,
+    "ta_tfidf_topk": q_ta_tfidf_topk,
     # -- single-green-row queries: earn their second driver row this round -
     "prj_br_strip": q_prj_br_strip,
     "agg_refhub_merge": q_agg_refhub_merge,
@@ -2326,6 +2390,67 @@ ORACLE_SQL: dict[str, str] = {
           ) i ON i.node = n.node
         )
         SELECT node, rank FROM r3
+    """,
+    "graph_triangles": """
+        WITH re AS (
+          SELECT l_orderkey % 1000 AS s, l_partkey % 1000 AS d
+          FROM lineitem WHERE l_orderkey % 1000 != l_partkey % 1000
+        ), und AS (
+          SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM re
+        ), nodes AS (
+          SELECT u AS node FROM und UNION SELECT v FROM und
+        ), tri AS (
+          -- each triangle exactly once as a<b<c over the canonical edges
+          SELECT ab.u AS a, ab.v AS b, bc.v AS c
+          FROM und ab
+          JOIN und bc ON bc.u = ab.v
+          JOIN und ac ON ac.u = ab.u AND ac.v = bc.v
+        ), corners AS (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri
+        ), cnt AS (
+          SELECT node, count(*) AS n FROM corners GROUP BY node
+        )
+        SELECT n.node, CAST(coalesce(c.n, 0) AS BIGINT) AS n_triangles
+        FROM nodes n LEFT JOIN cnt c ON c.node = n.node
+    """,
+    "join_asof": """
+        WITH ev AS (
+          SELECT event_id, user_id % 20 AS key, ts FROM events
+        ), q AS (
+          SELECT o_custkey % 20 AS key, o_orderdate AS ts,
+                 max(o_orderkey) AS quote
+          FROM orders GROUP BY 1, 2
+        ), j AS (
+          SELECT ev.event_id, ev.key, q.quote,
+                 row_number() OVER (
+                   PARTITION BY ev.event_id
+                   ORDER BY q.ts DESC, q.quote DESC
+                 ) AS rn
+          FROM ev LEFT JOIN q ON q.key = ev.key AND q.ts <= ev.ts
+        )
+        SELECT event_id, key, quote FROM j WHERE rn = 1
+    """,
+    "ta_tfidf_topk": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, tok, count(*) AS tf FROM toks
+          WHERE tok IN ('dup', 'hash', 'join', 'vector')
+          GROUP BY 1, 2
+        ), dfc AS (
+          SELECT tok, count(*) AS df FROM tf GROUP BY 1
+        ), sc AS (
+          SELECT tf.doc_id, sum(tf.tf * (1000000 // dfc.df)) AS score
+          FROM tf JOIN dfc USING (tok) GROUP BY 1
+        )
+        SELECT d.doc_id, CAST(coalesce(sc.score, 0) AS BIGINT) AS score
+        FROM documents d LEFT JOIN sc USING (doc_id)
+        ORDER BY score DESC, d.doc_id
+        LIMIT 20
     """,
     "smp_stratified": """
         SELECT doc_id, lang, source
