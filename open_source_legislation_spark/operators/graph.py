@@ -189,7 +189,7 @@ def pagerank_int(
     return ranks
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, cache_oriented: bool = True) -> DataFrame:
     """Per-node triangle participation over the undirected graph — the
     standard degree-ordered (compact-forward) formulation that keeps the
     join fan-out bounded on skewed graphs.
@@ -204,7 +204,16 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     4. close: wedge (a→b→c) survives iff oriented edge (a→c) exists —
        an equi-join on BOTH endpoints, never a cross product;
     5. explode the 3 corners and count per node (zero-triangle nodes are
-       kept via a left join back to the node set).
+       kept via a left join back to the node universe, itself read from
+       the oriented edges — every non-isolated node sits on one).
+
+    The oriented edge list is consumed FOUR times (both wedge sides, the
+    closing probe, the node universe); without a cache each consumer
+    re-scans the input and re-runs the distinct + degree joins, so with
+    ``cache_oriented`` (default) it is persisted DISK_ONLY — O(|E|), the
+    same footprint class as the input. The cache is handed to the caller
+    on the result as ``_osl_persists`` for release after consumption
+    (the run_pipeline/PipelineResult convention).
 
     Every triangle is produced exactly once (its corners are totally
     ordered by (degree, id)). Output: ``(node, n_triangles: bigint)``.
@@ -215,11 +224,6 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             F.greatest(F.col("src"), F.col("dst")).alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    nodes = (
-        und.select(F.col("u").alias("node"))
-        .union(und.select(F.col("v").alias("node")))
         .distinct()
     )
     deg = (
@@ -239,6 +243,17 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("x"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("y"),
     )
+    persists = []
+    if cache_oriented:
+        from pyspark import StorageLevel
+
+        o = o.persist(StorageLevel.DISK_ONLY)
+        persists.append(o)
+    nodes = (
+        o.select(F.col("x").alias("node"))
+        .union(o.select(F.col("y").alias("node")))
+        .distinct()
+    )
     wedges = (
         o.select(F.col("x").alias("a"), F.col("y").alias("b"))
         .join(o.select(F.col("x").alias("b"), F.col("y").alias("c")), "b")
@@ -251,7 +266,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
-    return nodes.join(per_node, "node", "left").select(
+    out = nodes.join(per_node, "node", "left").select(
         "node",
         F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias("n_triangles"),
     )
+    out._osl_persists = persists
+    return out

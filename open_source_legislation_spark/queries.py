@@ -835,7 +835,11 @@ def q_graph_triangles(spark, sf_dir):
     from .operators import graph as graph_ops
 
     li = _t(spark, sf_dir, "lineitem")
-    edges = li.select(
+    # the % 4 thinning keeps the derived graph sparse enough that the
+    # triangle count grows ~linearly with sf instead of saturating the
+    # 1000-node clique (an unthinned sf0.1 graph is ~70% complete and
+    # holds ~1e8 triangles)
+    edges = li.filter((F.col("l_orderkey") + F.col("l_partkey")) % 4 == 0).select(
         (F.col("l_orderkey") % 1000).alias("src"),
         (F.col("l_partkey") % 1000).alias("dst"),
     )
@@ -2394,7 +2398,9 @@ ORACLE_SQL: dict[str, str] = {
     "graph_triangles": """
         WITH re AS (
           SELECT l_orderkey % 1000 AS s, l_partkey % 1000 AS d
-          FROM lineitem WHERE l_orderkey % 1000 != l_partkey % 1000
+          FROM lineitem
+          WHERE l_orderkey % 1000 != l_partkey % 1000
+            AND (l_orderkey + l_partkey) % 4 = 0
         ), und AS (
           SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM re
         ), nodes AS (
