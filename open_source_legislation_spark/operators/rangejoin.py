@@ -129,8 +129,19 @@ def asof_join_backward(
     clash = set(payload) & set(left.columns)
     if clash:
         raise ValueError(f"asof_join_backward: payload collides with left: {clash}")
+    reserved = {"_asof_ts", "_asof_p", "_asof_tag", "_asof_m"}
+    taken = reserved & (set(left.columns) | set(payload))
+    if taken:
+        raise ValueError(
+            f"asof_join_backward: column names {sorted(taken)} are reserved "
+            f"for the operator's internal union/window columns"
+        )
 
-    r = right.select(
+    # JOIN semantics for NULL keys: NULL never equals NULL, so a NULL-key
+    # right row can never be matched (a window partition WOULD group the
+    # NULLs together and fabricate matches — filter them out). NULL-key
+    # left rows pass through with NULL payload.
+    r = right.filter(F.col(on).isNotNull()).select(
         F.col(on),
         F.col(right_ts).alias("_asof_ts"),
         F.struct(*[F.col(c) for c in payload]).alias("_asof_p"),

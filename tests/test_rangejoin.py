@@ -98,3 +98,33 @@ def test_asof_join_is_single_exchange(spark):
     )
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
+    assert "Join" not in plan  # union + window, not a join at all
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """JOIN semantics for NULLs: a NULL key matches nothing (the window
+    partition would otherwise group NULL keys together and fabricate a
+    match the SQL oracle never produces)."""
+    left = spark.createDataFrame(
+        [(1, None, 10), (2, "k1", 10)], "event_id long, key string, ts long"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, 100), ("k1", 5, 200)], "key string, ts long, quote long"
+    )
+    out = {
+        r.event_id: r.quote
+        for r in rangejoin.asof_join_backward(
+            left, right, on="key", payload=["quote"]
+        ).collect()
+    }
+    assert out == {1: None, 2: 200}
+
+
+def test_asof_join_reserved_name_guard(spark):
+    left = spark.createDataFrame(
+        [(1, "k1", 10, 0)], "event_id long, key string, ts long, _asof_ts long"
+    )
+    right = spark.createDataFrame([("k1", 5, 100)], "key string, ts long, quote long")
+    with pytest.raises(ValueError, match="reserved"):
+        rangejoin.asof_join_backward(left, right, on="key", payload=["quote"])
