@@ -181,19 +181,27 @@ class CheckpointedRunner:
                     f"(and the manifest) or restore the original bucket "
                     f"count — reusing it would mislabel every bucket"
                 )
+            if "sum_crc32" not in meta:
+                raise ValueError(
+                    f"checkpoint resume: the meta sidecar at {meta_path} "
+                    f"predates content fingerprinting (no sum_crc32 key), "
+                    f"so the materialized input cannot be validated "
+                    f"against the incoming transcripts; clear {INPUT_DIR} "
+                    f"(and the manifest) to re-materialize"
+                )
             incoming = self._input_fingerprint(transcripts)
             # a row count alone passes when the out_dir is re-pointed at
             # DIFFERENT input of equal size — exactly the silent-stale
             # failure this guard exists to close, so compare content too
-            if meta["rows"] != incoming["rows"] or meta.get(
-                "xor_crc32"
-            ) != incoming["xor_crc32"]:
+            if meta["rows"] != incoming["rows"] or meta[
+                "sum_crc32"
+            ] != incoming["sum_crc32"]:
                 raise ValueError(
                     f"checkpoint resume: materialized input at {path} holds "
-                    f"rows={meta['rows']} xor_crc32={meta.get('xor_crc32')} "
+                    f"rows={meta['rows']} sum_crc32={meta['sum_crc32']} "
                     f"but the incoming transcripts fingerprint as "
-                    f"rows={incoming['rows']} xor_crc32="
-                    f"{incoming['xor_crc32']}; the out_dir points at "
+                    f"rows={incoming['rows']} sum_crc32="
+                    f"{incoming['sum_crc32']}; the out_dir points at "
                     f"different input — clear it instead of silently "
                     f"resuming over stale buckets"
                 )
@@ -207,16 +215,15 @@ class CheckpointedRunner:
             .partitionBy("_bucket")
             .parquet(path)
         )
+        # fingerprint the COMMITTED parquet, not the incoming plan: the
+        # write above already evaluated `transcripts` once, and what must
+        # be recorded is what was actually made durable (a second
+        # evaluation of an expensive derived plan could also diverge from
+        # the first)
         meta = {
             "num_buckets": self.num_buckets,
-            **self._input_fingerprint(transcripts),
+            **self._input_fingerprint(self.spark.read.parquet(path)),
         }
-        if meta["rows"] != self._parquet_rows(path):
-            raise RuntimeError(
-                f"materialized input at {path} lost rows in flight: "
-                f"incoming {meta['rows']} vs written "
-                f"{self._parquet_rows(path)}"
-            )
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(meta, fh)
@@ -225,14 +232,16 @@ class CheckpointedRunner:
     @staticmethod
     def _input_fingerprint(transcripts: DataFrame) -> dict:
         """Order-independent content fingerprint of the input in ONE
-        aggregate scan: row count + bit-XOR of per-row crc32 over the
-        identity columns (conv_id, turn_idx, text). XOR is commutative so
-        the value is partitioning-independent; combined with the count it
-        detects an out_dir re-pointed at different-content input of equal
-        size (the rows-only check could not)."""
+        aggregate scan: row count + SUM of per-row crc32 over the identity
+        columns (conv_id, turn_idx, text). Sum is commutative so the value
+        is partitioning-independent, and unlike XOR it does NOT cancel on
+        even multiplicities (two identical rows XOR to zero, so a swapped
+        duplicate PAIR would slip through an xor fingerprint — duplicated
+        turns are a real input class here). Accumulated in DECIMAL(38,0):
+        1e12 rows x 2^32 exceeds int64."""
         row = transcripts.select(
             F.count("*").alias("n"),
-            F.bit_xor(
+            F.sum(
                 F.crc32(
                     F.concat_ws(
                         "\x1f",
@@ -240,12 +249,12 @@ class CheckpointedRunner:
                         F.col("turn_idx"),
                         F.coalesce(F.col("text"), F.lit("")),
                     )
-                )
+                ).cast("decimal(38,0)")
             ).alias("h"),
         ).first()
         return {
             "rows": int(row["n"]),
-            "xor_crc32": int(row["h"]) if row["h"] is not None else 0,
+            "sum_crc32": int(row["h"]) if row["h"] is not None else 0,
         }
 
     def _run_bucket(self, entity_dict: DataFrame, b: int) -> BucketStats:

@@ -115,3 +115,21 @@ def test_runner_sharded_knob_identical_output(
     a = _triples_set(CheckpointedRunner(spark, plain, run_id="p", num_buckets=2))
     b = _triples_set(CheckpointedRunner(spark, shard, run_id="s", num_buckets=2))
     assert a == b and a
+
+
+def test_fingerprint_not_blind_to_duplicate_pairs(spark):
+    """SUM-combined fingerprint: swapping one duplicated row PAIR for a
+    different duplicated pair must change the fingerprint (an XOR combine
+    cancels even multiplicities and would pass both)."""
+    a = spark.createDataFrame(
+        [("c1", 0, "x"), ("c1", 0, "x"), ("c2", 1, "r")],
+        "conv_id string, turn_idx int, text string",
+    )
+    b = spark.createDataFrame(
+        [("c9", 0, "y"), ("c9", 0, "y"), ("c2", 1, "r")],
+        "conv_id string, turn_idx int, text string",
+    )
+    fa = CheckpointedRunner._input_fingerprint(a)
+    fb = CheckpointedRunner._input_fingerprint(b)
+    assert fa["rows"] == fb["rows"] == 3
+    assert fa["sum_crc32"] != fb["sum_crc32"]
