@@ -212,8 +212,10 @@ def triangle_counts(edges: DataFrame, cache_oriented: bool = True) -> DataFrame:
     re-scans the input and re-runs the distinct + degree joins, so with
     ``cache_oriented`` (default) it is persisted DISK_ONLY — O(|E|), the
     same footprint class as the input. The cache is handed to the caller
-    on the result as ``_osl_persists`` for release after consumption
-    (the run_pipeline/PipelineResult convention).
+    on the result as ``_osl_persists`` for release after consumption —
+    the contract/bench harnesses unpersist it after collecting (the same
+    handle-handover pattern as the sharded engine's
+    ``_osl_shard_persists``).
 
     Every triangle is produced exactly once (its corners are totally
     ordered by (degree, id)). Output: ``(node, n_triangles: bigint)``.

@@ -71,6 +71,7 @@ def main(sf_dir: str, only: list[str]) -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        sdf = None
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -79,6 +80,12 @@ def main(sf_dir: str, only: list[str]) -> int:
             print(f"[SPARK-ERR] {name}: {type(e).__name__}: {str(e)[:300]}")
             failures += 1
             continue
+        finally:
+            # operators that cache an intermediate (triangle_counts'
+            # oriented edges) hand the persisted frames over on the result;
+            # release them so a full sweep doesn't accumulate caches
+            for cached in getattr(sdf, "_osl_persists", []):
+                cached.unpersist()
         if name not in osql:
             print(f"[ROWS-ONLY] {name}: {len(srows)} rows")
             continue
