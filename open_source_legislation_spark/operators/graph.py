@@ -274,3 +274,48 @@ def triangle_counts(edges: DataFrame, cache_oriented: bool = True) -> DataFrame:
     )
     out._osl_persists = persists
     return out
+
+
+def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation, made fully
+    deterministic: every node starts labeled with its own id; each
+    iteration it adopts the most frequent label among its neighbors,
+    ties broken by the SMALLEST label — so the result is a pure integer
+    function of the graph, bit-identical across engines, partitionings
+    and aggregation orders (classic async LPA is run-order dependent;
+    this is the reproducible variant a data pipeline can oracle-check).
+
+    Scale shape per iteration: one equi-join (symmetric edges ⋈ labels
+    on the neighbor endpoint) + one (node, label) count with map-side
+    partial aggregation + one per-node argmax — expressed as
+    ``max(struct(count, -label))`` so the pick is a second partial
+    aggregate, NOT a sort window. Labels frame stays one row per node.
+
+    Output: ``(node, label: bigint)`` after ``iters`` iterations.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(iters):
+        nb = sym.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        counts = nb.groupBy("node", "label").agg(F.count("*").alias("c"))
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("label"))
+        )
+    return labels

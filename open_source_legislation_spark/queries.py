@@ -846,6 +846,25 @@ def q_graph_triangles(spark, sf_dir):
     return graph_ops.triangle_counts(edges)
 
 
+def q_graph_label_prop(spark, sf_dir):
+    """Deterministic synchronous label propagation (operators/graph.py
+    label_propagation): 2 iterations of adopt-the-most-frequent-neighbor-
+    label with smallest-label tie-break — the reproducible (oracle-
+    checkable) variant of LPA community detection, completing the graph
+    analytics trio with PageRank and triangle counting. Same thinned
+    lineitem-derived graph as graph_triangles; the oracle unrolls both
+    iterations as CTEs with a row_number argmax (an independent
+    formulation of the same pick)."""
+    from .operators import graph as graph_ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.filter((F.col("l_orderkey") + F.col("l_partkey")) % 4 == 0).select(
+        (F.col("l_orderkey") % 1000).alias("src"),
+        (F.col("l_partkey") % 1000).alias("dst"),
+    )
+    return graph_ops.label_propagation(edges, iters=2)
+
+
 def q_join_asof(spark, sf_dir):
     """As-of join (operators/rangejoin.py asof_join_backward): each event
     picks the latest order-derived quote at-or-before its timestamp in
@@ -1639,6 +1658,7 @@ NEVER_DRIVER_VERIFIED: list[str] = [
     "graph_pagerank",  # new in r4 (exact integer PageRank over edges)
     "join_range_bucketed",  # new in r4 (cross-product-free range join)
     "graph_triangles",  # new in r4 (degree-ordered triangle counting)
+    "graph_label_prop",  # new in r4 (deterministic LPA communities)
     "join_asof",  # new in r4 (as-of join via union+window, one exchange)
     "ta_tfidf_topk",  # new in r4 (integer-exact tf-idf relevance top-k)
 ]
@@ -1664,6 +1684,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank": q_graph_pagerank,
     "join_range_bucketed": q_join_range_bucketed,
     "graph_triangles": q_graph_triangles,
+    "graph_label_prop": q_graph_label_prop,
     "join_asof": q_join_asof,
     "ta_tfidf_topk": q_ta_tfidf_topk,
     # -- single-green-row queries: earn their second driver row this round -
@@ -2420,6 +2441,45 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT n.node, CAST(coalesce(c.n, 0) AS BIGINT) AS n_triangles
         FROM nodes n LEFT JOIN cnt c ON c.node = n.node
+    """,
+    "graph_label_prop": """
+        WITH re AS (
+          SELECT l_orderkey % 1000 AS s, l_partkey % 1000 AS d
+          FROM lineitem
+          WHERE l_orderkey % 1000 != l_partkey % 1000
+            AND (l_orderkey + l_partkey) % 4 = 0
+        ), e AS (
+          SELECT DISTINCT s, d FROM re
+        ), sym AS (
+          SELECT s AS a, d AS b FROM e UNION SELECT d, s FROM e
+        ), l0 AS (
+          SELECT DISTINCT a AS node, a AS label FROM sym
+        ), c1 AS (
+          SELECT sym.a AS node, l.label, count(*) AS c
+          FROM sym JOIN l0 l ON l.node = sym.b
+          GROUP BY 1, 2
+        ), l1 AS (
+          SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (
+                     PARTITION BY node ORDER BY c DESC, label ASC
+                   ) AS rn
+            FROM c1
+          ) WHERE rn = 1
+        ), c2 AS (
+          SELECT sym.a AS node, l.label, count(*) AS c
+          FROM sym JOIN l1 l ON l.node = sym.b
+          GROUP BY 1, 2
+        ), l2 AS (
+          SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (
+                     PARTITION BY node ORDER BY c DESC, label ASC
+                   ) AS rn
+            FROM c2
+          ) WHERE rn = 1
+        )
+        SELECT node, CAST(label AS BIGINT) AS label FROM l2
     """,
     "join_asof": """
         WITH ev AS (

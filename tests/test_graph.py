@@ -132,3 +132,30 @@ def test_triangle_counts_match_bruteforce(spark):
             for x in (a, b, c):
                 brute[x] += 1
     assert got == brute
+
+
+def test_label_propagation_matches_bruteforce(spark):
+    from collections import Counter
+    import random
+
+    from open_source_legislation_spark.operators.graph import label_propagation
+
+    rng = random.Random(11)
+    edges = {(rng.randrange(15), rng.randrange(15)) for _ in range(40)}
+    e = spark.createDataFrame(list(edges), "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(e, iters=2).collect()}
+    und = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {n: n for n in adj}
+    for _ in range(2):
+        lab = {
+            n: max(
+                Counter(lab[m] for m in adj[n]).items(),
+                key=lambda kv: (kv[1], -kv[0]),
+            )[0]
+            for n in adj
+        }
+    assert got == lab
