@@ -102,9 +102,11 @@ HEADLINE_CONTRACT = [
     "sim_ivf_build",
     "dedup_cluster_keep",
     "graph_pagerank",
-    # degree-ordered triangle counting and the union+window as-of join
+    # degree-ordered triangle counting, the union+window as-of join, and
+    # deterministic label-propagation communities
     "graph_triangles",
     "join_asof",
+    "graph_label_prop",
 ]
 
 

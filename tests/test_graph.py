@@ -159,3 +159,20 @@ def test_label_propagation_matches_bruteforce(spark):
             for n in adj
         }
     assert got == lab
+
+
+def test_graph_analytics_empty_edges(spark):
+    """PageRank, triangles, and LPA all degrade to empty results on an
+    empty edge set — no crash, stable schemas."""
+    from open_source_legislation_spark.operators.graph import (
+        label_propagation,
+        pagerank_int,
+        triangle_counts,
+    )
+
+    e = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_int(e, iters=1).count() == 0
+    tri = triangle_counts(e)
+    assert tri.count() == 0
+    assert tri.columns == ["node", "n_triangles"]
+    assert label_propagation(e, iters=1).count() == 0
