@@ -319,3 +319,43 @@ def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
             .select("node", (-F.col("m.nl")).alias("label"))
         )
     return labels
+
+
+def bfs_distances(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Directed k-hop reachability: the minimum hop distance (≤
+    ``max_hops``) from a seed set to every reachable node — the "what is
+    within N citation hops of section X" query a KG consumer runs.
+
+    Level-synchronous frontier expansion, the textbook distributed BFS:
+    hop *h* joins the CURRENT frontier (nodes first reached at h−1, a
+    shrinking set) against the edge list and anti-joins the settled set,
+    so each edge is traversed at most once per endpoint discovery and the
+    work per hop is O(frontier × avg outdeg) — never a full |V|×|E|
+    product. Deterministic by construction: distance is a pure min, no
+    tie-breaks needed.
+
+    ``sources``: DataFrame with a ``node`` column. Output: ``(node,
+    dist: int)`` for every node within ``max_hops`` (seeds at 0).
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    seeds = sources.select("node").distinct()
+    settled = seeds.withColumn("dist", F.lit(0))
+    frontier = seeds
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = nxt.join(settled.select("node"), "node", "left_anti").withColumn(
+            "dist", F.lit(h)
+        )
+        settled = settled.unionByName(new)
+        frontier = new
+    return settled.select("node", F.col("dist").cast("int").alias("dist"))

@@ -865,6 +865,24 @@ def q_graph_label_prop(spark, sf_dir):
     return graph_ops.label_propagation(edges, iters=2)
 
 
+def q_graph_bfs_khop(spark, sf_dir):
+    """Directed k-hop reachability from a seed set (operators/graph.py
+    bfs_distances): level-synchronous frontier BFS — min hop distance <= 3,
+    work per hop O(frontier x outdeg), each node settled once. The oracle
+    unrolls the three frontier expansions as CTEs with NOT-IN settlement
+    checks. Same thinned lineitem-derived directed graph as
+    graph_triangles."""
+    from .operators import graph as graph_ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.filter((F.col("l_orderkey") + F.col("l_partkey")) % 4 == 0).select(
+        (F.col("l_orderkey") % 1000).alias("src"),
+        (F.col("l_partkey") % 1000).alias("dst"),
+    )
+    seeds = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    return graph_ops.bfs_distances(edges, seeds, max_hops=3)
+
+
 def q_join_asof(spark, sf_dir):
     """As-of join (operators/rangejoin.py asof_join_backward): each event
     picks the latest order-derived quote at-or-before its timestamp in
@@ -1659,6 +1677,7 @@ NEVER_DRIVER_VERIFIED: list[str] = [
     "join_range_bucketed",  # new in r4 (cross-product-free range join)
     "graph_triangles",  # new in r4 (degree-ordered triangle counting)
     "graph_label_prop",  # new in r4 (deterministic LPA communities)
+    "graph_bfs_khop",  # new in r4 (frontier BFS k-hop reachability)
     "join_asof",  # new in r4 (as-of join via union+window, one exchange)
     "ta_tfidf_topk",  # new in r4 (integer-exact tf-idf relevance top-k)
 ]
@@ -1685,6 +1704,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_range_bucketed": q_join_range_bucketed,
     "graph_triangles": q_graph_triangles,
     "graph_label_prop": q_graph_label_prop,
+    "graph_bfs_khop": q_graph_bfs_khop,
     "join_asof": q_join_asof,
     "ta_tfidf_topk": q_ta_tfidf_topk,
     # -- single-green-row queries: earn their second driver row this round -
@@ -2480,6 +2500,37 @@ ORACLE_SQL: dict[str, str] = {
           ) WHERE rn = 1
         )
         SELECT node, CAST(label AS BIGINT) AS label FROM l2
+    """,
+    "graph_bfs_khop": """
+        WITH re AS (
+          SELECT l_orderkey % 1000 AS s, l_partkey % 1000 AS d
+          FROM lineitem
+          WHERE l_orderkey % 1000 != l_partkey % 1000
+            AND (l_orderkey + l_partkey) % 4 = 0
+        ), e AS (
+          SELECT DISTINCT s AS src, d AS dst FROM re
+        ), d0 AS (
+          SELECT unnest([0, 1, 2, 3, 4]) AS node
+        ), f1 AS (
+          SELECT DISTINCT e.dst AS node
+          FROM d0 JOIN e ON e.src = d0.node
+          WHERE e.dst NOT IN (SELECT node FROM d0)
+        ), f2 AS (
+          SELECT DISTINCT e.dst AS node
+          FROM f1 JOIN e ON e.src = f1.node
+          WHERE e.dst NOT IN (SELECT node FROM d0)
+            AND e.dst NOT IN (SELECT node FROM f1)
+        ), f3 AS (
+          SELECT DISTINCT e.dst AS node
+          FROM f2 JOIN e ON e.src = f2.node
+          WHERE e.dst NOT IN (SELECT node FROM d0)
+            AND e.dst NOT IN (SELECT node FROM f1)
+            AND e.dst NOT IN (SELECT node FROM f2)
+        )
+        SELECT CAST(node AS BIGINT) AS node, CAST(0 AS INTEGER) AS dist FROM d0
+        UNION ALL SELECT node, 1 FROM f1
+        UNION ALL SELECT node, 2 FROM f2
+        UNION ALL SELECT node, 3 FROM f3
     """,
     "join_asof": """
         WITH ev AS (

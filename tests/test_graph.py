@@ -176,3 +176,31 @@ def test_graph_analytics_empty_edges(spark):
     assert tri.count() == 0
     assert tri.columns == ["node", "n_triangles"]
     assert label_propagation(e, iters=1).count() == 0
+
+
+def test_bfs_distances_match_bruteforce(spark):
+    import random
+    from collections import deque
+
+    from open_source_legislation_spark.operators.graph import bfs_distances
+
+    rng = random.Random(3)
+    edges = {(rng.randrange(30), rng.randrange(30)) for _ in range(70)}
+    e = spark.createDataFrame(list(edges), "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (1,)], "node long")
+    got = {r.node: r.dist for r in bfs_distances(e, seeds, max_hops=3).collect()}
+    adj: dict = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+    dist = {0: 0, 1: 0}
+    q = deque([(0, 0), (1, 0)])
+    while q:
+        n, d = q.popleft()
+        if d >= 3:
+            continue
+        for m in adj.get(n, ()):
+            if m not in dist:
+                dist[m] = d + 1
+                q.append((m, d + 1))
+    assert got == dist
