@@ -339,9 +339,19 @@ def run_pipeline(
     # and are handed to PipelineResult.cleanup()
     shard_persists = list(getattr(derived, "_osl_shard_persists", []))
     if spill == "parquet" and engine == "stream":
+        import atexit
+        import shutil
         import tempfile
 
         spill_dir = tempfile.mkdtemp(prefix="osl_derived_")
+        # exit-time backstop for callers that can only consume the outputs
+        # LAZILY and never reach cleanup() (contract queries return a
+        # DataFrame reading this dir; the harness collects it after the
+        # query callable is long gone) — without it every sweep leaks one
+        # derived-parquet dir per pipeline-backed query (observed: 500+
+        # orphans). cleanup() still removes it eagerly; rmtree twice is a
+        # no-op (ignore_errors).
+        atexit.register(shutil.rmtree, spill_dir, ignore_errors=True)
         derived.write.mode("overwrite").parquet(spill_dir)
         for cached in shard_persists:
             cached.unpersist()
