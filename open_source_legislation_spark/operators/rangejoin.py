@@ -165,3 +165,65 @@ def asof_join_backward(
         *left.columns,
         *[F.col(f"_asof_m.{c}").alias(c) for c in payload],
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str = "lo",
+    left_hi: str = "hi",
+    right_lo: str = "lo",
+    right_hi: str = "hi",
+    bucket_width: int = 16,
+) -> DataFrame:
+    """Inner-join every overlapping pair of half-open intervals
+    (``l.lo < r.hi AND r.lo < l.hi``) — the interval×interval sibling of
+    :func:`range_join_points`, again as an EQUI-join (Catalyst plans the
+    raw theta condition as a cross product).
+
+    Both sides explode to their covered bucket ids and hash-join on the
+    bucket. Two overlapping intervals share every bucket in their
+    intersection, so the same pair would surface once per shared bucket;
+    instead of a dedup shuffle, each pair is emitted ONLY from its
+    canonical bucket — the one containing ``max(l.lo, r.lo)`` (always
+    inside the intersection) — a pure filter, zero extra exchanges.
+
+    Shuffle volume is ``Σ width/B`` over both inputs, never
+    ``|left| × |right|``; bucket skew is ordinary hash-join skew
+    (AQE-splittable). Column names must be disjoint across the two
+    inputs (raise otherwise). Output: all left columns + all right
+    columns, one row per overlapping pair.
+    """
+    clash = set(left.columns) & set(right.columns)
+    if clash:
+        raise ValueError(
+            f"interval_overlap_join: column names must be disjoint, "
+            f"both sides have: {sorted(clash)}"
+        )
+    b = F.lit(bucket_width)
+
+    def buckets(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        df = df.filter(F.col(hi) > F.col(lo))
+        return df.withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / b), F.floor((F.col(hi) - 1) / b)
+                )
+            ),
+        )
+
+    lb = buckets(left, left_lo, left_hi)
+    rb = buckets(right, right_lo, right_hi).withColumnRenamed(
+        "_bucket", "_bucket_r"
+    )
+    canonical = F.floor(F.greatest(F.col(left_lo), F.col(right_lo)) / b)
+    return (
+        lb.join(rb, lb["_bucket"] == rb["_bucket_r"])
+        .filter(
+            (F.col(left_lo) < F.col(right_hi))
+            & (F.col(right_lo) < F.col(left_hi))
+            & (F.col("_bucket") == canonical)
+        )
+        .drop("_bucket", "_bucket_r")
+    )

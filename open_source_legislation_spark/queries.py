@@ -846,6 +846,33 @@ def q_graph_triangles(spark, sf_dir):
     return graph_ops.triangle_counts(edges)
 
 
+def q_join_interval_overlap(spark, sf_dir):
+    """Interval-x-interval overlap join (operators/rangejoin.py
+    interval_overlap_join): both sides bucket-exploded, hash-joined on the
+    bucket, each overlapping pair emitted exactly once from its canonical
+    bucket (the one holding max(lo_a, lo_b)) — a pure filter instead of a
+    dedup shuffle. Aggregated per left interval. The oracle writes the
+    theta condition directly."""
+    from .operators import rangejoin
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_partkey") * 5).alias("llo"),
+        (F.col("p_partkey") * 5 + 12).alias("lhi"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 100000).alias("rlo"),
+        (F.col("o_orderkey") % 100000 + 8).alias("rhi"),
+    )
+    joined = rangejoin.interval_overlap_join(p, o, "llo", "lhi", "rlo", "rhi")
+    return joined.groupBy("p_partkey").agg(
+        F.count("*").alias("n_overlaps"),
+        F.min("o_orderkey").alias("min_order"),
+        F.max("o_orderkey").alias("max_order"),
+    )
+
+
 def q_graph_label_prop(spark, sf_dir):
     """Deterministic synchronous label propagation (operators/graph.py
     label_propagation): 2 iterations of adopt-the-most-frequent-neighbor-
@@ -1678,6 +1705,7 @@ NEVER_DRIVER_VERIFIED: list[str] = [
     "graph_triangles",  # new in r4 (degree-ordered triangle counting)
     "graph_label_prop",  # new in r4 (deterministic LPA communities)
     "graph_bfs_khop",  # new in r4 (frontier BFS k-hop reachability)
+    "join_interval_overlap",  # new in r4 (interval-x-interval bucketed join)
     "join_asof",  # new in r4 (as-of join via union+window, one exchange)
     "ta_tfidf_topk",  # new in r4 (integer-exact tf-idf relevance top-k)
 ]
@@ -1705,6 +1733,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_triangles": q_graph_triangles,
     "graph_label_prop": q_graph_label_prop,
     "graph_bfs_khop": q_graph_bfs_khop,
+    "join_interval_overlap": q_join_interval_overlap,
     "join_asof": q_join_asof,
     "ta_tfidf_topk": q_ta_tfidf_topk,
     # -- single-green-row queries: earn their second driver row this round -
@@ -2500,6 +2529,22 @@ ORACLE_SQL: dict[str, str] = {
           ) WHERE rn = 1
         )
         SELECT node, CAST(label AS BIGINT) AS label FROM l2
+    """,
+    "join_interval_overlap": """
+        WITH iv AS (
+          SELECT p_partkey, p_partkey * 5 AS llo, p_partkey * 5 + 12 AS lhi
+          FROM part
+        ), ov AS (
+          SELECT o_orderkey, o_orderkey % 100000 AS rlo,
+                 o_orderkey % 100000 + 8 AS rhi
+          FROM orders
+        )
+        SELECT iv.p_partkey,
+               count(*) AS n_overlaps,
+               min(ov.o_orderkey) AS min_order,
+               max(ov.o_orderkey) AS max_order
+        FROM iv JOIN ov ON iv.llo < ov.rhi AND ov.rlo < iv.lhi
+        GROUP BY iv.p_partkey
     """,
     "graph_bfs_khop": """
         WITH re AS (

@@ -128,3 +128,38 @@ def test_asof_join_reserved_name_guard(spark):
     right = spark.createDataFrame([("k1", 5, 100)], "key string, ts long, quote long")
     with pytest.raises(ValueError, match="reserved"):
         rangejoin.asof_join_backward(left, right, on="key", payload=["quote"])
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(5)
+    L = [(i, lo, lo + rng.randrange(0, 40)) for i, lo in
+         ((i, rng.randrange(100)) for i in range(40))]
+    R = [(100 + i, lo, lo + rng.randrange(0, 40)) for i, lo in
+         ((i, rng.randrange(100)) for i in range(40))]
+    l = spark.createDataFrame(L, "lid long, llo long, lhi long")
+    r = spark.createDataFrame(R, "rid long, rlo long, rhi long")
+    out = rangejoin.interval_overlap_join(
+        l, r, "llo", "lhi", "rlo", "rhi", bucket_width=16
+    )
+    got = sorted((row.lid, row.rid) for row in out.collect())
+    brute = sorted(
+        (li, ri)
+        for li, llo, lhi in L
+        for ri, rlo, rhi in R
+        if llo < rhi and rlo < lhi and lhi > llo and rhi > rlo
+    )
+    assert got == brute
+    # canonical-bucket emission: exactly once per pair, no dedup shuffle
+    assert len(got) == len(set(got))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_interval_overlap_join_rejects_column_clash(spark):
+    l = spark.createDataFrame([(1, 0, 5)], "id long, lo long, hi long")
+    r = spark.createDataFrame([(2, 3, 9)], "id long, rlo long, rhi long")
+    with pytest.raises(ValueError, match="disjoint"):
+        rangejoin.interval_overlap_join(l, r, "lo", "hi", "rlo", "rhi")
