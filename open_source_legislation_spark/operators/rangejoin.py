@@ -24,8 +24,22 @@ a cross product. This is the standard bucketed range-join strategy
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _floor_bucket(c: Column, width: int) -> Column:
+    """Exact int64 floor(c / width): `floor(col / lit)` routes through
+    DOUBLE division, which silently mis-buckets coordinates past 2^53
+    (e.g. nanosecond epochs ~1.7e18) — an overlapping pair would then be
+    dropped with no error. `c - pmod(c, w)` is the exact floor multiple
+    (pmod is non-negative, so this is floor semantics for negative
+    coordinates too), and DECIMAL division of an exact multiple has zero
+    remainder, hence an exact integer quotient at any result scale."""
+    b = F.lit(width)
+    cl = c.cast("long")
+    multiple = (cl - F.pmod(cl, b)).cast("decimal(38,0)")
+    return (multiple / b).cast("long")
 
 
 def range_join_points(
@@ -47,12 +61,11 @@ def range_join_points(
 
     Output: all columns of ``intervals`` + all columns of ``points``.
     """
-    b = F.lit(bucket_width)
     # empty intervals ([lo, lo)) match nothing; dropping them also keeps
     # sequence() ascending (Spark generates a DESCENDING sequence when
     # start > stop, which would fabricate buckets)
     intervals = intervals.filter(F.col(hi_col) > F.col(lo_col))
-    lo_bucket = F.floor(F.col(lo_col) / b)
+    lo_bucket = _floor_bucket(F.col(lo_col), bucket_width)
     if max_interval_width is not None:
         # lazy in-plan guard: assert_true raises AT EXECUTION on the first
         # too-wide interval instead of paying an eager full scan of
@@ -75,11 +88,11 @@ def range_join_points(
         F.explode(
             F.sequence(
                 lo_bucket,
-                F.floor((F.col(hi_col) - 1) / b),
+                _floor_bucket(F.col(hi_col) - 1, bucket_width),
             )
         ),
     )
-    pt = points.withColumn("_bucket", F.floor(F.col(x_col) / b))
+    pt = points.withColumn("_bucket", _floor_bucket(F.col(x_col), bucket_width))
     return (
         iv.join(pt, "_bucket")
         .filter((F.col(lo_col) <= F.col(x_col)) & (F.col(x_col) < F.col(hi_col)))
@@ -175,11 +188,15 @@ def interval_overlap_join(
     right_lo: str = "lo",
     right_hi: str = "hi",
     bucket_width: int = 16,
+    max_interval_width: int | None = None,
 ) -> DataFrame:
     """Inner-join every overlapping pair of half-open intervals
     (``l.lo < r.hi AND r.lo < l.hi``) — the interval×interval sibling of
     :func:`range_join_points`, again as an EQUI-join (Catalyst plans the
-    raw theta condition as a cross product).
+    raw theta condition as a cross product). EMPTY intervals
+    (``hi <= lo``) denote no points and overlap nothing, same as
+    :func:`range_join_points` — callers whose semantics treat ``[x, x)``
+    as a matchable instant must widen them upstream.
 
     Both sides explode to their covered bucket ids and hash-join on the
     bucket. Two overlapping intervals share every bucket in their
@@ -188,11 +205,16 @@ def interval_overlap_join(
     canonical bucket — the one containing ``max(l.lo, r.lo)`` (always
     inside the intersection) — a pure filter, zero extra exchanges.
 
+    ``max_interval_width`` guards the explode on BOTH sides (one giant
+    interval would otherwise fan out unbounded bucket rows) — a lazy
+    in-plan assert, same as :func:`range_join_points`.
+
     Shuffle volume is ``Σ width/B`` over both inputs, never
     ``|left| × |right|``; bucket skew is ordinary hash-join skew
     (AQE-splittable). Column names must be disjoint across the two
-    inputs (raise otherwise). Output: all left columns + all right
-    columns, one row per overlapping pair.
+    inputs and must not use the reserved ``_bucket`` / ``_bucket_r``
+    (raise otherwise). Output: all left columns + all right columns,
+    one row per overlapping pair.
     """
     clash = set(left.columns) & set(right.columns)
     if clash:
@@ -200,24 +222,46 @@ def interval_overlap_join(
             f"interval_overlap_join: column names must be disjoint, "
             f"both sides have: {sorted(clash)}"
         )
-    b = F.lit(bucket_width)
+    reserved = {"_bucket", "_bucket_r"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(
+            f"interval_overlap_join: column names {sorted(reserved)} are "
+            f"reserved for the operator's internal bucket columns"
+        )
 
-    def buckets(df: DataFrame, lo: str, hi: str) -> DataFrame:
+    def buckets(df: DataFrame, lo: str, hi: str, side: str) -> DataFrame:
         df = df.filter(F.col(hi) > F.col(lo))
+        lo_bucket = _floor_bucket(F.col(lo), bucket_width)
+        if max_interval_width is not None:
+            # lazy in-plan explode guard, folded into the used expression
+            # so column pruning cannot drop it (see range_join_points)
+            lo_bucket = lo_bucket + F.coalesce(
+                F.assert_true(
+                    (F.col(hi) - F.col(lo)) <= max_interval_width,
+                    F.lit(
+                        f"interval_overlap_join: {side} interval wider "
+                        f"than max_interval_width={max_interval_width}; "
+                        f"split it upstream"
+                    ),
+                ).cast("long"),
+                F.lit(0),
+            )
         return df.withColumn(
             "_bucket",
             F.explode(
                 F.sequence(
-                    F.floor(F.col(lo) / b), F.floor((F.col(hi) - 1) / b)
+                    lo_bucket, _floor_bucket(F.col(hi) - 1, bucket_width)
                 )
             ),
         )
 
-    lb = buckets(left, left_lo, left_hi)
-    rb = buckets(right, right_lo, right_hi).withColumnRenamed(
+    lb = buckets(left, left_lo, left_hi, "left")
+    rb = buckets(right, right_lo, right_hi, "right").withColumnRenamed(
         "_bucket", "_bucket_r"
     )
-    canonical = F.floor(F.greatest(F.col(left_lo), F.col(right_lo)) / b)
+    canonical = _floor_bucket(
+        F.greatest(F.col(left_lo), F.col(right_lo)), bucket_width
+    )
     return (
         lb.join(rb, lb["_bucket"] == rb["_bucket_r"])
         .filter(

@@ -206,18 +206,33 @@ class CheckpointedRunner:
                     f"resuming over stale buckets"
                 )
             return
+        from pyspark.sql import Observation
+
         bucketed = transcripts.withColumn(
             "_bucket", bucket_col(F.col("conv_id"), self.num_buckets)
         )
+        # Observation rides the write itself: the incoming row count comes
+        # from the SAME evaluation that produced the files — zero extra
+        # scans — and cross-checks the committed footers below, so a write
+        # that silently drops rows (failed task commit, partial overwrite)
+        # is caught at materialization, not mis-diagnosed at resume
+        obs = Observation("materialize_rows")
         (
-            bucketed.repartition(self.num_buckets, F.col("_bucket"))
+            bucketed.observe(obs, F.count(F.lit(1)).alias("rows"))
+            .repartition(self.num_buckets, F.col("_bucket"))
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(path)
         )
-        # fingerprint the COMMITTED parquet, not the incoming plan: the
-        # write above already evaluated `transcripts` once, and what must
-        # be recorded is what was actually made durable (a second
+        incoming_rows = int(obs.get["rows"])
+        durable_rows = self._parquet_rows(path)
+        if incoming_rows != durable_rows:
+            raise RuntimeError(
+                f"materialized input at {path} lost rows in flight: "
+                f"incoming {incoming_rows} vs committed {durable_rows}"
+            )
+        # fingerprint the COMMITTED parquet, not the incoming plan: what
+        # must be recorded is what was actually made durable (a second
         # evaluation of an expensive derived plan could also diverge from
         # the first)
         meta = {

@@ -32,6 +32,32 @@ from ..operators import (
 )
 
 
+# Live derived-spill directories awaiting exit-time removal. ONE atexit
+# callback drains the set (registering shutil.rmtree per dir would grow
+# the atexit registry by one dead entry per pipeline invocation in a
+# long-lived process — atexit.unregister removes by FUNCTION, so per-dir
+# entries cannot be retired individually). cleanup() discards its dir
+# after eager removal.
+_LIVE_SPILL_DIRS: set[str] = set()
+_SPILL_HOOK_INSTALLED = False
+
+
+def _register_spill_dir(d: str) -> None:
+    global _SPILL_HOOK_INSTALLED
+    _LIVE_SPILL_DIRS.add(d)
+    if not _SPILL_HOOK_INSTALLED:
+        import atexit
+        import shutil
+
+        atexit.register(
+            lambda: [
+                shutil.rmtree(x, ignore_errors=True)
+                for x in list(_LIVE_SPILL_DIRS)
+            ]
+        )
+        _SPILL_HOOK_INSTALLED = True
+
+
 class PipelineResult:
     """Pipeline outputs. ``turns`` (the materialized derived frame) is
     eager; every other output's logical plan is built lazily on first
@@ -124,6 +150,7 @@ class PipelineResult:
             import shutil
 
             shutil.rmtree(self.spill_dir, ignore_errors=True)
+            _LIVE_SPILL_DIRS.discard(self.spill_dir)
 
 
 def _mention_triples(linked: DataFrame) -> DataFrame:
@@ -339,8 +366,6 @@ def run_pipeline(
     # and are handed to PipelineResult.cleanup()
     shard_persists = list(getattr(derived, "_osl_shard_persists", []))
     if spill == "parquet" and engine == "stream":
-        import atexit
-        import shutil
         import tempfile
 
         spill_dir = tempfile.mkdtemp(prefix="osl_derived_")
@@ -349,9 +374,10 @@ def run_pipeline(
         # DataFrame reading this dir; the harness collects it after the
         # query callable is long gone) — without it every sweep leaks one
         # derived-parquet dir per pipeline-backed query (observed: 500+
-        # orphans). cleanup() still removes it eagerly; rmtree twice is a
-        # no-op (ignore_errors).
-        atexit.register(shutil.rmtree, spill_dir, ignore_errors=True)
+        # orphans). cleanup() still removes it eagerly and retires the
+        # registry entry, so a long-lived process does not accumulate
+        # dead callbacks.
+        _register_spill_dir(spill_dir)
         derived.write.mode("overwrite").parquet(spill_dir)
         for cached in shard_persists:
             cached.unpersist()

@@ -2544,6 +2544,10 @@ ORACLE_SQL: dict[str, str] = {
                min(ov.o_orderkey) AS min_order,
                max(ov.o_orderkey) AS max_order
         FROM iv JOIN ov ON iv.llo < ov.rhi AND ov.rlo < iv.lhi
+                       -- empty intervals overlap nothing (operator
+                       -- semantics; moot at these fixed widths but keeps
+                       -- oracle and engine aligned on the edge case)
+                       AND iv.lhi > iv.llo AND ov.rhi > ov.rlo
         GROUP BY iv.p_partkey
     """,
     "graph_bfs_khop": """

@@ -163,3 +163,35 @@ def test_interval_overlap_join_rejects_column_clash(spark):
     r = spark.createDataFrame([(2, 3, 9)], "id long, rlo long, rhi long")
     with pytest.raises(ValueError, match="disjoint"):
         rangejoin.interval_overlap_join(l, r, "lo", "hi", "rlo", "rhi")
+
+
+def test_bucket_math_exact_past_double_precision(spark):
+    """Bucket ids use exact integer floor division: coordinates past 2^53
+    (nanosecond-epoch scale) and negative coordinates must not mis-bucket,
+    which would silently drop overlapping pairs."""
+    base = 4_611_686_018_427_387_900  # ~4.6e18, far past 2^53
+    l = spark.createDataFrame(
+        [(1, base, base + 10), (2, -40, -20)], "lid long, llo long, lhi long"
+    )
+    r = spark.createDataFrame(
+        [(9, base + 5, base + 30), (8, -25, -10)], "rid long, rlo long, rhi long"
+    )
+    out = rangejoin.interval_overlap_join(l, r, "llo", "lhi", "rlo", "rhi")
+    assert {(x.lid, x.rid) for x in out.collect()} == {(1, 9), (2, 8)}
+    pts = spark.createDataFrame([(7, base + 3)], "pid long, x long")
+    iv = l.withColumnRenamed("llo", "lo").withColumnRenamed("lhi", "hi")
+    got = rangejoin.range_join_points(iv, pts)
+    assert {(x.lid, x.pid) for x in got.collect()} == {(1, 7)}
+
+
+def test_interval_overlap_width_guard_and_reserved(spark):
+    l = spark.createDataFrame([(1, 0, 1000)], "lid long, llo long, lhi long")
+    r = spark.createDataFrame([(9, 3, 9)], "rid long, rlo long, rhi long")
+    out = rangejoin.interval_overlap_join(
+        l, r, "llo", "lhi", "rlo", "rhi", max_interval_width=64
+    )
+    with pytest.raises(Exception, match="wider"):
+        out.collect()
+    bad = l.withColumnRenamed("lid", "_bucket")
+    with pytest.raises(ValueError, match="reserved"):
+        rangejoin.interval_overlap_join(bad, r, "llo", "lhi", "rlo", "rhi")
