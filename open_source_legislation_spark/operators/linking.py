@@ -190,8 +190,13 @@ def link_mentions(
     out = mentions.withColumn("_c", candidate_keys3_udf("raw_key"))
     if strategy == "auto":
         est = _estimated_bytes(idx)
+        # No size estimate (Spark Connect / API drift) must fail SAFE: an
+        # unestimatable oversized dictionary on the broadcast path is
+        # exactly the executor-OOM the shuffle fallback exists to avoid.
+        # The shuffle path is merely slower for a small dictionary; the
+        # broadcast path is fatal for a huge one.
         strategy = (
-            "shuffle" if est is not None and est > broadcast_max_bytes else "broadcast"
+            "broadcast" if est is not None and est <= broadcast_max_bytes else "shuffle"
         )
     if strategy == "broadcast":
         return _link_broadcast(out, idx)

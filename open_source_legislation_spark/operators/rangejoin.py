@@ -37,7 +37,12 @@ def _floor_bucket(c: Column, width: int) -> Column:
     coordinates too), and DECIMAL division of an exact multiple has zero
     remainder, hence an exact integer quotient at any result scale."""
     b = F.lit(width)
-    cl = c.cast("long")
+    # floor() BEFORE the long cast: a bare cast('long') truncates toward
+    # zero, so a fractional coordinate like -0.5 would bucket to 0 instead
+    # of -1 and the bucket equi-join would silently drop an overlapping
+    # pair (the exact-predicate recheck never sees the pair). floor() is a
+    # no-op for integral inputs, so the exact int64 path is unchanged.
+    cl = F.floor(c).cast("long")
     multiple = (cl - F.pmod(cl, b)).cast("decimal(38,0)")
     return (multiple / b).cast("long")
 
@@ -150,11 +155,16 @@ def asof_join_backward(
             f"for the operator's internal union/window columns"
         )
 
-    # JOIN semantics for NULL keys: NULL never equals NULL, so a NULL-key
-    # right row can never be matched (a window partition WOULD group the
-    # NULLs together and fabricate matches — filter them out). NULL-key
-    # left rows pass through with NULL payload.
-    r = right.filter(F.col(on).isNotNull()).select(
+    # JOIN semantics for NULL keys AND NULL timestamps: NULL never equals
+    # NULL and `r.ts <= l.ts` is NULL (no match) for a NULL right_ts, so
+    # neither row class can ever be matched. The window formulation WOULD
+    # fabricate matches for both — NULL keys group into one partition, and
+    # NULLS-FIRST ordering puts a NULL-ts right row BEFORE every left row,
+    # handing its payload to left rows with no genuine earlier match —
+    # so filter both out of the right side up front.
+    r = right.filter(
+        F.col(on).isNotNull() & F.col(right_ts).isNotNull()
+    ).select(
         F.col(on),
         F.col(right_ts).alias("_asof_ts"),
         F.struct(*[F.col(c) for c in payload]).alias("_asof_p"),

@@ -253,15 +253,26 @@ class CheckpointedRunner:
         even multiplicities (two identical rows XOR to zero, so a swapped
         duplicate PAIR would slip through an xor fingerprint — duplicated
         turns are a real input class here). Accumulated in DECIMAL(38,0):
-        1e12 rows x 2^32 exceeds int64."""
+        1e12 rows x 2^32 exceeds int64.
+
+        Every field is coalesced to a DISTINCT NULL sentinel before the
+        concat: concat_ws silently DROPS null arguments, so without the
+        sentinels (NULL, '5', t) and ('5', NULL, t) would concat to the
+        same string and the stale-input guard could false-pass on inputs
+        differing only in which key column is null. The sentinels embed
+        the field name, so a null in one position can never collide with
+        a null (or a literal) in another."""
         row = transcripts.select(
             F.count("*").alias("n"),
             F.sum(
                 F.crc32(
                     F.concat_ws(
                         "\x1f",
-                        F.col("conv_id"),
-                        F.col("turn_idx"),
+                        F.coalesce(F.col("conv_id"), F.lit("\x00nul:conv_id")),
+                        F.coalesce(
+                            F.col("turn_idx").cast("string"),
+                            F.lit("\x00nul:turn_idx"),
+                        ),
                         F.coalesce(F.col("text"), F.lit("")),
                     )
                 ).cast("decimal(38,0)")

@@ -133,3 +133,19 @@ def test_fingerprint_not_blind_to_duplicate_pairs(spark):
     fb = CheckpointedRunner._input_fingerprint(b)
     assert fa["rows"] == fb["rows"] == 3
     assert fa["sum_crc32"] != fb["sum_crc32"]
+
+
+def test_fingerprint_distinguishes_which_key_column_is_null(spark):
+    """concat_ws silently drops NULL fields: without per-field sentinels,
+    (NULL, 5, t) and ('5', NULL, t) would hash identically and the
+    stale-input guard could false-pass."""
+    a = spark.createDataFrame(
+        [(None, 5, "t")], "conv_id string, turn_idx int, text string"
+    )
+    b = spark.createDataFrame(
+        [("5", None, "t")], "conv_id string, turn_idx int, text string"
+    )
+    fa = CheckpointedRunner._input_fingerprint(a)
+    fb = CheckpointedRunner._input_fingerprint(b)
+    assert fa["rows"] == fb["rows"] == 1
+    assert fa["sum_crc32"] != fb["sum_crc32"]

@@ -133,3 +133,30 @@ def test_broadcast_join_in_plan(spark, entity_dict_df):
     )
     plan = linked._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_auto_strategy_fails_safe_without_size_estimate(spark, entity_dict_df, monkeypatch):
+    """When Catalyst's size estimate is unavailable (Spark Connect / API
+    drift) auto must take the SHUFFLE path: an unestimatable oversized
+    dictionary on the broadcast path is exactly the executor-OOM the
+    fallback exists to avoid."""
+    monkeypatch.setattr(linking, "_estimated_bytes", lambda df: None)
+    chosen = {}
+    real = linking._link_shuffle
+
+    def spy(out, idx, orig):
+        chosen["path"] = "shuffle"
+        return real(out, idx, orig)
+
+    monkeypatch.setattr(linking, "_link_shuffle", spy)
+    got = {
+        r["raw_key"]: (r["entity_id"], r["link_priority"])
+        for r in linking.link_mentions(
+            _mentions(spark, ["cfr/title=40/part=105", "nonsense/key=1"]),
+            entity_dict_df,
+            strategy="auto",
+        ).collect()
+    }
+    assert chosen.get("path") == "shuffle"
+    assert got["cfr/title=40/part=105"] == ("us/federal/ecfr/title=40/part=105", 1)
+    assert got["nonsense/key=1"] == (None, None)

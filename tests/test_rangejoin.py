@@ -195,3 +195,40 @@ def test_interval_overlap_width_guard_and_reserved(spark):
     bad = l.withColumnRenamed("lid", "_bucket")
     with pytest.raises(ValueError, match="reserved"):
         rangejoin.interval_overlap_join(bad, r, "llo", "lhi", "rlo", "rhi")
+
+
+def test_asof_join_null_right_ts_never_matches(spark):
+    """SQL semantics: `r.ts <= l.ts` is NULL (no match) when right_ts is
+    NULL. NULLS-FIRST window ordering would otherwise place the NULL-ts
+    row BEFORE every left row, handing its payload to left rows with no
+    genuine earlier quote."""
+    left = spark.createDataFrame(
+        [(1, "k1", 5), (2, "k1", 20)], "event_id long, key string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("k1", None, 99), ("k1", 10, 200)], "key string, ts long, quote long"
+    )
+    out = {
+        r.event_id: r.quote
+        for r in rangejoin.asof_join_backward(
+            left, right, on="key", payload=["quote"]
+        ).collect()
+    }
+    # event 1 has no genuine earlier quote -> NULL, never the NULL-ts 99
+    assert out == {1: None, 2: 200}
+
+
+def test_fractional_coordinates_floor_not_truncate(spark):
+    """A bare cast('long') truncates toward zero: lo=-0.5 would bucket to
+    0 instead of -1 and the bucket equi-join would silently drop the pair
+    before the exact-predicate recheck. floor() before the cast keeps
+    double coordinates exact."""
+    iv = spark.createDataFrame([(1, -0.5, 3.5)], "iid long, lo double, hi double")
+    pt = spark.createDataFrame([(7, -0.25), (8, 3.25), (9, 3.75)],
+                               "pid long, x double")
+    out = rangejoin.range_join_points(iv, pt, bucket_width=16)
+    assert {(r.iid, r.pid) for r in out.collect()} == {(1, 7), (1, 8)}
+    l = spark.createDataFrame([(1, -0.5, 0.5)], "lid long, llo double, lhi double")
+    r = spark.createDataFrame([(9, -0.25, 0.25)], "rid long, rlo double, rhi double")
+    got = rangejoin.interval_overlap_join(l, r, "llo", "lhi", "rlo", "rhi")
+    assert {(x.lid, x.rid) for x in got.collect()} == {(1, 9)}
