@@ -13,6 +13,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _persist_disk(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.DISK_ONLY)
+
+
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Cut the logical plan under an iterative loop's evolving frame.
+
+    Without this, every iteration STACKS its join/agg subtree on the
+    previous plan — at 20+ iterations analysis/optimization time grows
+    superlinearly and the lineage chain re-derives every upstream subtree
+    on failure recovery: the classic iterative-DataFrame failure mode at
+    scale. ``localCheckpoint(eager=True)`` materializes the frame on
+    executor storage and replaces its plan with a scan of the
+    materialized blocks (the loop frames are one row per node — the
+    smallest frame in the computation, so the materialization is cheap
+    relative to one iteration's shuffle)."""
+    return df.localCheckpoint(eager=True)
+
+
 def hierarchy_edges(nodes: DataFrame) -> DataFrame:
     """(src=child, dst=parent, rel=child_of) — the parent pointer as edges."""
     return nodes.filter(F.col("parent").isNotNull()).select(
@@ -115,6 +136,7 @@ def pagerank_int(
     iters: int = 3,
     base: int = 1_000_000,
     damping_ppm: int = 850_000,
+    persist_every: int | None = 8,
 ) -> DataFrame:
     """Node importance over the graph — fixed-iteration PageRank in EXACT
     integer arithmetic (ranks in micro-units):
@@ -137,22 +159,43 @@ def pagerank_int(
     one partial-aggregated groupBy(dst); ranks frame is one row per node.
     Duplicate edges and self-loops are removed up front.
 
+    Lineage control: the loop-invariant frames (``e``, ``outdeg``,
+    ``nodes``) are persisted DISK_ONLY for the loop's lifetime (each is
+    consumed every iteration — uncached, iteration *k* re-derives the
+    distinct + degree subtrees *k* times), and the evolving ``ranks``
+    frame is lineage-truncated every ``persist_every`` iterations (see
+    :func:`_truncate_lineage`; ``None`` disables both, restoring the pure
+    single-lineage plan — right for 2-3 iterations where the plan is
+    shallow anyway). The persisted handles are handed to the caller on
+    the result as ``_osl_persists`` for release after consumption (the
+    :func:`triangle_counts` handle-handover pattern).
+
     Output: ``(node, rank)`` with rank after ``iters`` iterations.
     """
+    if persist_every is not None and persist_every < 1:
+        raise ValueError("pagerank_int: persist_every must be >= 1 or None")
     e = (
         edges.select(F.col("src"), F.col("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    persists = []
+    if persist_every is not None:
+        e = _persist_disk(e)
+        persists.append(e)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    if persist_every is not None:
+        nodes = _persist_disk(nodes)
+        outdeg = _persist_disk(outdeg)
+        persists += [nodes, outdeg]
     ranks = nodes.withColumn("rank", F.lit(base).cast("long"))
     hold = (base - damping_ppm)
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             e.join(ranks, e["src"] == ranks["node"])
             .join(outdeg, "src")
@@ -186,6 +229,11 @@ def pagerank_int(
             .cast("long")
             .alias("rank"),
         )
+        if persist_every is not None and (it + 1) % persist_every == 0 and (
+            it + 1
+        ) < iters:
+            ranks = _truncate_lineage(ranks)
+    ranks._osl_persists = persists
     return ranks
 
 
@@ -276,7 +324,9 @@ def triangle_counts(edges: DataFrame, cache_oriented: bool = True) -> DataFrame:
     return out
 
 
-def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, iters: int = 2, persist_every: int | None = 8
+) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation, made fully
     deterministic: every node starts labeled with its own id; each
     iteration it adopts the most frequent label among its neighbors,
@@ -291,8 +341,16 @@ def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
     ``max(struct(count, -label))`` so the pick is a second partial
     aggregate, NOT a sort window. Labels frame stays one row per node.
 
+    Lineage control (same contract as :func:`pagerank_int`): ``sym`` and
+    ``nodes`` are loop-invariant and persisted DISK_ONLY; the evolving
+    ``labels`` frame is lineage-truncated every ``persist_every``
+    iterations; handles handed over via ``_osl_persists``; ``None``
+    disables.
+
     Output: ``(node, label: bigint)`` after ``iters`` iterations.
     """
+    if persist_every is not None and persist_every < 1:
+        raise ValueError("label_propagation: persist_every must be >= 1 or None")
     e = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
@@ -302,9 +360,16 @@ def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
     )
+    persists = []
+    if persist_every is not None:
+        sym = _persist_disk(sym)
+        persists.append(sym)
     nodes = sym.select(F.col("src").alias("node")).distinct()
+    if persist_every is not None:
+        nodes = _persist_disk(nodes)
+        persists.append(nodes)
     labels = nodes.withColumn("label", F.col("node"))
-    for _ in range(iters):
+    for it in range(iters):
         nb = sym.join(
             labels.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "label")
@@ -318,11 +383,19 @@ def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
             )
             .select("node", (-F.col("m.nl")).alias("label"))
         )
+        if persist_every is not None and (it + 1) % persist_every == 0 and (
+            it + 1
+        ) < iters:
+            labels = _truncate_lineage(labels)
+    labels._osl_persists = persists
     return labels
 
 
 def bfs_distances(
-    edges: DataFrame, sources: DataFrame, max_hops: int = 3
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    persist_every: int | None = 8,
 ) -> DataFrame:
     """Directed k-hop reachability: the minimum hop distance (≤
     ``max_hops``) from a seed set to every reachable node — the "what is
@@ -336,14 +409,27 @@ def bfs_distances(
     product. Deterministic by construction: distance is a pure min, no
     tie-breaks needed.
 
+    Lineage control (same contract as :func:`pagerank_int`): the edge
+    list is loop-invariant and persisted DISK_ONLY (it is probed every
+    hop); the evolving ``settled``/``frontier`` frames — ``settled`` is a
+    union CHAIN that otherwise deepens by one subtree per hop — are
+    lineage-truncated every ``persist_every`` hops; handles handed over
+    via ``_osl_persists``; ``None`` disables.
+
     ``sources``: DataFrame with a ``node`` column. Output: ``(node,
     dist: int)`` for every node within ``max_hops`` (seeds at 0).
     """
+    if persist_every is not None and persist_every < 1:
+        raise ValueError("bfs_distances: persist_every must be >= 1 or None")
     e = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    persists = []
+    if persist_every is not None:
+        e = _persist_disk(e)
+        persists.append(e)
     seeds = sources.select("node").distinct()
     settled = seeds.withColumn("dist", F.lit(0))
     frontier = seeds
@@ -358,4 +444,9 @@ def bfs_distances(
         )
         settled = settled.unionByName(new)
         frontier = new
-    return settled.select("node", F.col("dist").cast("int").alias("dist"))
+        if persist_every is not None and h % persist_every == 0 and h < max_hops:
+            settled = _truncate_lineage(settled)
+            frontier = _truncate_lineage(frontier)
+    out = settled.select("node", F.col("dist").cast("int").alias("dist"))
+    out._osl_persists = persists
+    return out
