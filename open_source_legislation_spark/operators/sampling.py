@@ -86,7 +86,9 @@ def decontaminate(docs: DataFrame, n: int = 3, key: str = "doc_id") -> DataFrame
     )
 
 
-def pack_token_budget(docs: DataFrame, budget: int = 512) -> DataFrame:
+def pack_token_budget(
+    docs: DataFrame, budget: int = 512, chunks: int | None = None
+) -> DataFrame:
     """(doc_id, source, n_tokens, pack_id) — contiguous sequence packing:
     documents ordered by doc_id within their source shard are laid into
     packs of ``budget`` tokens by exclusive running offset
@@ -94,28 +96,90 @@ def pack_token_budget(docs: DataFrame, budget: int = 512) -> DataFrame:
 
     A document straddling a boundary starts the next pack's count but is
     assigned by its own starting offset — the standard "greedy concat then
-    chunk" layout LLM dataloaders use. The window is PARTITIONED BY source:
-    per-shard prefix sums run embarrassingly parallel; there is no global
-    ordering anywhere in the plan.
+    chunk" layout LLM dataloaders use.
+
+    Two physical modes, identical output:
+
+    - ``chunks=None`` (default): one window PARTITIONED BY source. Fine
+      when every source fits a partition, but one giant source
+      serializes through a single window partition.
+    - ``chunks=P``: two-phase parallel prefix sum — the design for the
+      10^12-doc regime where a source is far bigger than a partition.
+      ``repartitionByRange(P, source, doc_id)`` splits each source into
+      contiguous runs of the pack order; phase 1 computes LOCAL running
+      offsets within each (chunk, source) run; a per-(chunk, source)
+      token-total aggregate (P × |sources| rows — tiny) is prefix-summed
+      per source ordered by chunk id and broadcast-joined back as each
+      run's base offset. Offsets are chunking-invariant (any contiguity-
+      preserving split yields the same prefix sums, and range partitions
+      are contiguous in (source, doc_id) order — AQE coalescing merges
+      only adjacent ranges), so both modes agree row-for-row.
     """
     n_tokens = F.size(_tokens(F.col("text")))
-    w = (
-        Window.partitionBy("source")
+    with_counts = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    pack = lambda off: F.floor(off / budget).cast("bigint").alias("pack_id")
+    if chunks is None:
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        return with_counts.select("doc_id", "source", "n_tokens", pack(offset))
+    if chunks < 1:
+        raise ValueError("pack_token_budget: chunks must be >= 1 or None")
+    from pyspark import StorageLevel
+
+    # Both phases consume the SAME chunk assignment. repartitionByRange
+    # derives boundaries by sampling, which is not guaranteed to repeat
+    # across two independent evaluations of the subtree — so the chunked
+    # frame is persisted (handle handed over via ``_osl_persists``), not
+    # recomputed per branch.
+    chunked = (
+        with_counts.repartitionByRange(chunks, "source", "doc_id")
+        .withColumn("_chunk", F.spark_partition_id())
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    w_local = (
+        Window.partitionBy("_chunk", "source")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    with_counts = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
-    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return with_counts.select(
+    local = chunked.withColumn(
+        "_local_off", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    w_base = (
+        Window.partitionBy("source")
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        chunked.groupBy("_chunk", "source")
+        .agg(F.sum("n_tokens").alias("_chunk_tokens"))
+        .select(
+            "_chunk",
+            "source",
+            F.coalesce(F.sum("_chunk_tokens").over(w_base), F.lit(0)).alias(
+                "_base_off"
+            ),
+        )
+    )
+    out = local.join(F.broadcast(bases), ["_chunk", "source"]).select(
         "doc_id",
         "source",
         "n_tokens",
-        F.floor(offset / budget).cast("bigint").alias("pack_id"),
+        pack(F.col("_base_off") + F.col("_local_off")),
     )
+    out._osl_persists = [chunked]
+    return out
 
 
 def stratified_sample(
-    docs: DataFrame, stratum_col: str, rates_bps: dict, default_bps: int = 0
+    docs: DataFrame,
+    stratum_col: str,
+    rates_bps: dict,
+    default_bps: int = 0,
+    when_chain_max: int = 16,
 ) -> DataFrame:
     """Deterministic per-stratum downsampling — the mixture-weighting step
     of a pretraining data recipe (e.g. keep 100% of one source, 5% of
@@ -125,20 +189,44 @@ def stratified_sample(
     The keep decision is a pure function of ``doc_id`` (md5 bucket in
     0..9999), so the sample is reproducible across runs, engines, and
     cluster sizes — no RNG, no ``sample()`` nondeterminism — and it
-    composes with resume (a re-run keeps the same rows). One narrow
-    filter, no shuffle.
+    composes with resume (a re-run keeps the same rows). No shuffle on
+    the corpus side either way the rate is attached (see below).
+
+    Rate lookup scales with the mixture: up to ``when_chain_max``
+    strata the rate is a literal ``when`` chain (pure codegen, zero
+    exchanges); past that a nested expression tree gets pathological
+    (10k-deep trees stall Catalyst), so the rates become a broadcast
+    ``(stratum, rate_bps)`` frame + ``coalesce(rate, default)`` — a
+    broadcast hash join, still no corpus shuffle. Both paths compare
+    the stratum AS A STRING (dict keys via ``str()``, column via
+    ``cast('string')``) so they are semantically identical.
     """
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint")
         % 10000
     )
-    rate = F.lit(default_bps)
-    for k, v in sorted(rates_bps.items()):
-        rate = F.when(F.col(stratum_col) == k, v).otherwise(rate)
+    skey = F.col(stratum_col).cast("string")
+    if len(rates_bps) <= when_chain_max:
+        rate = F.lit(int(default_bps))
+        for k, v in sorted(rates_bps.items()):
+            rate = F.when(skey == str(k), int(v)).otherwise(rate)
+        tagged = docs.withColumn("_rate_bps", rate)
+    else:
+        rates = docs.sparkSession.createDataFrame(
+            [(str(k), int(v)) for k, v in sorted(rates_bps.items())],
+            "_stratum_key string, _rate_bps int",
+        )
+        tagged = (
+            docs.withColumn("_stratum_key", skey)
+            .join(F.broadcast(rates), "_stratum_key", "left")
+            .withColumn(
+                "_rate_bps", F.coalesce("_rate_bps", F.lit(int(default_bps)))
+            )
+            .drop("_stratum_key")
+        )
     return (
-        docs.withColumn("_bucket", bucket)
-        .withColumn("_rate_bps", rate)
+        tagged.withColumn("_bucket", bucket)
         .filter(F.col("_bucket") < F.col("_rate_bps"))
         .drop("_bucket", "_rate_bps")
     )

@@ -128,3 +128,52 @@ def test_stratified_sample_rates_and_determinism(spark):
         sampling.stratified_sample(zh, "lang", {"en": 10000}, default_bps=0).count()
         == 0
     )
+
+
+def test_stratified_sample_broadcast_path_matches_when_chain(spark):
+    """10 000 strata — the regime where the old nested-when expression
+    tree was pathological. The broadcast-join path (auto past
+    when_chain_max) must agree row-for-row with the when-chain path
+    forced on the same data, and with the md5-bucket reference."""
+    rows = [(i, f"s_{i % 10_000}") for i in range(5000)]
+    docs = spark.createDataFrame(rows, "doc_id long, stratum string")
+    rates = {f"s_{i}": (i * 7) % 10_001 for i in range(10_000)}
+    big = sampling.stratified_sample(docs, "stratum", rates, default_bps=0)
+    got = sorted((r.doc_id, r.stratum) for r in big.collect())
+    # reference: pure-python md5 bucket
+    exp = sorted(
+        (i, s)
+        for i, s in rows
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10000
+        < rates[s]
+    )
+    assert got == exp
+    # and the when-chain path (small dict, same strata subset) agrees
+    small_rates = {f"s_{i}": rates[f"s_{i}"] for i in range(5)}
+    small_docs = docs.filter(docs.stratum.isin(list(small_rates)))
+    a = sampling.stratified_sample(small_docs, "stratum", small_rates)
+    b = sampling.stratified_sample(
+        small_docs, "stratum", small_rates, when_chain_max=0
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pack_budget_two_phase_matches_window_mode(spark):
+    """chunks=P parallel prefix-sum mode ≡ the single-window mode, incl.
+    one source far bigger than the others (the skew case the mode is
+    for) and P exceeding the natural parallelism."""
+    rows = [
+        (i, "big" if i < 900 else f"src_{i % 3}", f"w{i} " * ((i % 13) + 1))
+        for i in range(1000)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    base = sorted(
+        map(tuple, sampling.pack_token_budget(docs, budget=40).collect())
+    )
+    for p in (1, 4, 17):
+        two = sampling.pack_token_budget(docs, budget=40, chunks=p)
+        assert sorted(map(tuple, two.collect())) == base
+        for h in getattr(two, "_osl_persists", []):
+            h.unpersist()
+    with pytest.raises(ValueError, match="chunks"):
+        sampling.pack_token_budget(docs, budget=40, chunks=0)
