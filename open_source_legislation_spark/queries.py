@@ -642,6 +642,36 @@ def q_mm_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(media, stride=64, frame_len=8)
 
 
+def q_mm_decode_real(spark, sf_dir):
+    """REAL-codec decode: genuine 24-bit BMPs / PCM16 WAVs are synthesized
+    per document and decoded by the real parsers (BGR→RGB swap, bottom-up
+    row flip, 4-byte row padding, RIFF chunk walk —
+    operators/multimodal.py decode_media_real). Pixel/sample values are
+    closed-form in (doc_id, index), so the oracle asserts every decoded
+    value from the formula without parsing a byte."""
+    media = multimodal.synth_real_media(_t(spark, sf_dir, "documents"))
+    dec = multimodal.decode_media_real(media)
+    return dec.select(
+        "doc_id",
+        "kind",
+        "sample_rate",
+        "width",
+        "height",
+        F.posexplode("values").alias("idx", "value"),
+    )
+
+
+def q_mm_resize_real(spark, sf_dir):
+    """Nearest-neighbor resize over GENUINELY decoded pixels (not header
+    bookkeeping): decode the real BMPs, resize to 2×2 with pure JVM array
+    arithmetic (multimodal.resize_decoded), explode the resized values;
+    the oracle replicates the source-index math over the pixel formula."""
+    media = multimodal.synth_real_media(_t(spark, sf_dir, "documents"))
+    dec = multimodal.decode_media_real(media)
+    rs = multimodal.resize_decoded(dec, tw=2, th=2)
+    return rs.select("doc_id", F.posexplode("values").alias("idx", "value"))
+
+
 # ---------------------------------------------------------------------------
 # Training-data-pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -1762,6 +1792,8 @@ DRIVER_WINDOW = 50
 # board is fully green; the only entry is this round's new query.
 NEVER_DRIVER_VERIFIED: list[str] = [
     "src_fetch_retry",  # new in r5: file://-based retry-fetch contract row
+    "mm_decode_real",  # new in r5: real BMP/WAV decode vs formula oracle
+    "mm_resize_real",  # new in r5: resize over genuinely decoded pixels
 ]
 
 # Dict ORDER is part of the driver contract: the driver's correctness gate
@@ -1778,6 +1810,8 @@ NEVER_DRIVER_VERIFIED: list[str] = [
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- priority: no green driver row yet (driver checks first 50 only) ---
     "src_fetch_retry": q_src_fetch_retry,
+    "mm_decode_real": q_mm_decode_real,
+    "mm_resize_real": q_mm_resize_real,
     # -- stalest green first (latest row r1/r2): refresh before history ----
     # -- ages past two rounds ----------------------------------------------
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1829,9 +1863,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "smp_stratified": q_smp_stratified,
     "smp_pack_budget": q_smp_pack_budget,
     "graph_pagerank": q_graph_pagerank,
+    # -- rotated (position >50): r4-green driver rows stand as history -----
+    # (label_prop/bfs also took the lineage knob, but their r4 rows plus
+    # the iters=25 equivalence pytest cover them; the window holds 50.)
     "graph_label_prop": q_graph_label_prop,
     "graph_bfs_khop": q_graph_bfs_khop,
-    # -- rotated (position >50): r4-green driver rows stand as history -----
     "window_session": q_window_session,
     "agg_total_rows": q_agg_total_rows,
     "sim_ivf_build": q_sim_ivf_build,
@@ -2406,6 +2442,61 @@ ORACLE_SQL: dict[str, str] = {
                                    CAST(band_offset AS INT) * 2 + 1, 16)))
                  AS frame_b64
         FROM offs
+    """,
+    # Real-codec decode: every decoded pixel/sample equals the closed-form
+    # synthesis rule (multimodal._bmp_bytes/_wav_bytes docstrings) — the
+    # oracle derives the expected values from doc_id alone, so any error in
+    # the byte-level encode→decode roundtrip (BGR order, row flip, padding,
+    # chunk walk) shows up as a value mismatch.
+    "mm_decode_real": """
+        WITH img AS (
+          SELECT doc_id, CAST(doc_id % 5 + 1 AS INT) AS width,
+                 CAST(doc_id % 3 + 1 AS INT) AS height
+          FROM documents WHERE doc_id % 2 = 0
+        ), ipix0 AS (
+          SELECT doc_id, width, height,
+                 unnest(range(0, CAST(width * height AS BIGINT))) AS i
+          FROM img
+        ), ipix AS (
+          SELECT doc_id, 'image' AS kind, CAST(NULL AS INT) AS sample_rate,
+                 width, height,
+                 CAST(i * 3 + ch.c AS INT) AS idx,
+                 CAST(CASE ch.c
+                      WHEN 0 THEN (doc_id * 7 + i * 3) % 256
+                      WHEN 1 THEN (doc_id * 11 + i * 5) % 256
+                      ELSE (doc_id * 13 + i * 7) % 256 END AS BIGINT) AS value
+          FROM ipix0 CROSS JOIN (VALUES (0), (1), (2)) ch(c)
+        ), aud0 AS (
+          SELECT doc_id, unnest(range(0, CAST(doc_id % 9 + 4 AS BIGINT))) AS i
+          FROM documents WHERE doc_id % 2 = 1
+        ), asamp AS (
+          SELECT doc_id, 'audio' AS kind, CAST(8000 AS INT) AS sample_rate,
+                 CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+                 CAST(i AS INT) AS idx,
+                 CAST((doc_id * 31 + i * 17) % 65536 - 32768 AS BIGINT) AS value
+          FROM aud0
+        )
+        SELECT * FROM ipix UNION ALL SELECT * FROM asamp
+    """,
+    "mm_resize_real": """
+        WITH img AS (
+          SELECT doc_id, doc_id % 5 + 1 AS w, doc_id % 3 + 1 AS h
+          FROM documents WHERE doc_id % 2 = 0
+        ), jj AS (
+          SELECT doc_id, w, h, unnest(range(0, 12)) AS j FROM img
+        ), m AS (
+          SELECT doc_id, CAST(j AS INT) AS idx, j % 3 AS c,
+                 -- nearest-neighbor source pixel of out (x, y) in a 2x2 grid
+                 (((j // 3) // 2) * h // 2) * w + (((j // 3) % 2) * w // 2) AS i,
+                 w, h
+          FROM jj
+        )
+        SELECT doc_id, idx,
+               CAST(CASE c
+                    WHEN 0 THEN (doc_id * 7 + i * 3) % 256
+                    WHEN 1 THEN (doc_id * 11 + i * 5) % 256
+                    ELSE (doc_id * 13 + i * 7) % 256 END AS BIGINT) AS value
+        FROM m
     """,
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
