@@ -77,7 +77,12 @@ TRIPLES = T.StructType(
 )
 
 # Graph tables — mirror the reference node table (reference CLAUDE.md:514-536,
-# scrapeMI.py:67-90) with hierarchy encoded as edges.
+# scrapeMI.py:67-90) with hierarchy encoded as edges. Of the reference's four
+# per-node vectors (scrapeMI.py:79-83: text, name, summary, HyDE), the
+# enriched-nodes branch carries text + name embeddings and an extractive
+# summary stand-in (plans/pipeline.py multi_embed); the fourth — a
+# hypothetical-document (HyDE) embedding — requires an LLM call per node and
+# any sandbox stand-in would be fake, so it is deliberately out of scope.
 NODES = T.StructType(
     [
         T.StructField("node_id", T.StringType(), False),
