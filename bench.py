@@ -107,6 +107,10 @@ HEADLINE_CONTRACT = [
     "graph_triangles",
     "join_asof",
     "graph_label_prop",
+    # round-5: real-codec media decode (BMP/WAV → values via mapInPandas)
+    # and the file://-work-list retry-fetch source
+    "mm_decode_real",
+    "src_fetch_retry",
 ]
 
 

@@ -165,8 +165,11 @@ def pagerank_int(
     distinct + degree subtrees *k* times), and the evolving ``ranks``
     frame is lineage-truncated every ``persist_every`` iterations (see
     :func:`_truncate_lineage`; ``None`` disables both, restoring the pure
-    single-lineage plan — right for 2-3 iterations where the plan is
-    shallow anyway). The persisted handles are handed to the caller on
+    single-lineage plan). At ``iters <= persist_every`` the knob
+    auto-disables: the plan is shallow and the pure lineage beats paying
+    the DISK_ONLY materialization (measured +25-40% at iters=3); force
+    persisting on short loops with a smaller ``persist_every``. The
+    persisted handles are handed to the caller on
     the result as ``_osl_persists`` for release after consumption (the
     :func:`triangle_counts` handle-handover pattern).
 
@@ -174,6 +177,11 @@ def pagerank_int(
     """
     if persist_every is not None and persist_every < 1:
         raise ValueError("pagerank_int: persist_every must be >= 1 or None")
+    # Engage only when the loop is long enough to amortize the DISK_ONLY
+    # materialization (measured ~25-40% overhead at iters=3 on sf0.1);
+    # pass a smaller persist_every to force persisting on short loops.
+    if persist_every is not None and iters <= persist_every:
+        persist_every = None
     e = (
         edges.select(F.col("src"), F.col("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -351,6 +359,8 @@ def label_propagation(
     """
     if persist_every is not None and persist_every < 1:
         raise ValueError("label_propagation: persist_every must be >= 1 or None")
+    if persist_every is not None and iters <= persist_every:
+        persist_every = None  # short loop: pure plan wins (see pagerank_int)
     e = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
@@ -421,6 +431,8 @@ def bfs_distances(
     """
     if persist_every is not None and persist_every < 1:
         raise ValueError("bfs_distances: persist_every must be >= 1 or None")
+    if persist_every is not None and max_hops <= persist_every:
+        persist_every = None  # short walk: pure plan wins (see pagerank_int)
     e = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
