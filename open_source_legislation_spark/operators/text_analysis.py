@@ -230,3 +230,70 @@ def tfidf_score_int(
         .join(scored, "doc_id", "left")
         .select("doc_id", F.coalesce(F.col("score"), F.lit(0).cast("long")).alias("score"))
     )
+
+
+def boilerplate_strip(
+    docs: DataFrame, min_docs: int = 2, line_sep: str = "\n"
+) -> DataFrame:
+    """Cross-document boilerplate removal — the RefinedWeb/CCNet "line-wise
+    dedup" step: a non-blank line occurring in ≥ ``min_docs`` DISTINCT
+    documents (nav bars, cookie banners, shared footers) is boilerplate
+    and is stripped from every document; blank lines and document-unique
+    lines survive in order.
+
+    Scale shape: one explode over the text → a (line → n_distinct_docs)
+    hash aggregate (partial-aggregated map-side; at corpus scale key the
+    exchange on ``md5(line)`` — same partitioning, 16-byte keys); the
+    boilerplate set is joined back with a PLAIN hash join, not a
+    broadcast — it is corpus-dependent and can be huge. Reassembly is an
+    ``array_sort`` of (line_idx, line) structs per doc — no window, no
+    reliance on ``collect_list`` ordering.
+
+    Output: ``(doc_id, clean_text, n_lines_kept, n_lines_removed)`` —
+    one row per input document (fully-boilerplate docs come back with
+    empty text, never dropped).
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\\Q" + line_sep + "\\E")).alias(
+            "line_idx", "line"
+        ),
+    )
+    boiler = (
+        lines.filter(F.trim(F.col("line")) != "")
+        .groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("_ndocs"))
+        .filter(F.col("_ndocs") >= min_docs)
+        .select("line", F.lit(True).alias("_boiler"))
+    )
+    tagged = lines.join(boiler, "line", "left")
+    kept = (
+        tagged.filter(F.col("_boiler").isNull())
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("line_idx", "line"))).alias("_ls"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                line_sep, F.transform("_ls", lambda s: s["line"])
+            ).alias("clean_text"),
+            F.size("_ls").alias("n_lines_kept"),
+        )
+    )
+    removed = (
+        tagged.filter(F.col("_boiler").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_lines_removed"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(kept, "doc_id", "left")
+        .join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines_kept", F.lit(0)).cast("int").alias("n_lines_kept"),
+            F.coalesce("n_lines_removed", F.lit(0))
+            .cast("int")
+            .alias("n_lines_removed"),
+        )
+    )

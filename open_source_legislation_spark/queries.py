@@ -800,6 +800,24 @@ def q_ta_c4_clean(spark, sf_dir):
     return text_analysis.c4_line_clean(built)
 
 
+def q_ta_boilerplate(spark, sf_dir):
+    """Cross-document boilerplate line removal
+    (text_analysis.boilerplate_strip — the RefinedWeb/CCNet line-wise
+    dedup step). The synthetic documents are single-line, so the query
+    builds 3-line documents with known shared structure: a corpus-wide
+    footer (stripped everywhere), the source name (shared by every doc of
+    that source → stripped), and the original text (kept unless the
+    corpus duplicates it ≥ 3 times)."""
+    d = _t(spark, sf_dir, "documents")
+    built = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", "text", F.lit("SHARED FOOTER"), "source"
+        ).alias("text"),
+    )
+    return text_analysis.boilerplate_strip(built, min_docs=3)
+
+
 def q_smp_stratified(spark, sf_dir):
     """Per-stratum deterministic downsampling (sampling.stratified_sample):
     keep 100% of en, 25% of de, 5% of everything else — md5-bucket keep
@@ -1794,6 +1812,7 @@ NEVER_DRIVER_VERIFIED: list[str] = [
     "src_fetch_retry",  # new in r5: file://-based retry-fetch contract row
     "mm_decode_real",  # new in r5: real BMP/WAV decode vs formula oracle
     "mm_resize_real",  # new in r5: resize over genuinely decoded pixels
+    "ta_boilerplate",  # new in r5: cross-doc boilerplate line removal
 ]
 
 # Dict ORDER is part of the driver contract: the driver's correctness gate
@@ -1812,6 +1831,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "src_fetch_retry": q_src_fetch_retry,
     "mm_decode_real": q_mm_decode_real,
     "mm_resize_real": q_mm_resize_real,
+    "ta_boilerplate": q_ta_boilerplate,
     # -- stalest green first (latest row r1/r2): refresh before history ----
     # -- ages past two rounds ----------------------------------------------
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1862,10 +1882,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- r4-green queries whose operators this round's code touched --------
     "smp_stratified": q_smp_stratified,
     "smp_pack_budget": q_smp_pack_budget,
-    "graph_pagerank": q_graph_pagerank,
     # -- rotated (position >50): r4-green driver rows stand as history -----
-    # (label_prop/bfs also took the lineage knob, but their r4 rows plus
-    # the iters=25 equivalence pytest cover them; the window holds 50.)
+    # (the graph trio also took the lineage knob, but it auto-disables at
+    # their registered iteration counts — plan unchanged — and the
+    # iters=25 equivalence pytest covers the knob; the window holds 50.)
+    "graph_pagerank": q_graph_pagerank,
     "graph_label_prop": q_graph_label_prop,
     "graph_bfs_khop": q_graph_bfs_khop,
     "window_session": q_window_session,
@@ -2592,6 +2613,40 @@ ORACLE_SQL: dict[str, str] = {
                (contains(lower(t), 'lorem ipsum') OR contains(lower(t), '{'))
                  AS doc_flagged
         FROM k
+    """,
+    "ta_boilerplate": """
+        WITH built AS (
+          SELECT doc_id,
+                 concat_ws(chr(10), text, 'SHARED FOOTER', source) AS t
+          FROM documents
+        ), ln AS (
+          SELECT doc_id,
+                 unnest(range(len(string_split(t, chr(10))))) AS line_idx,
+                 unnest(string_split(t, chr(10))) AS line
+          FROM built
+        ), boiler AS (
+          SELECT line FROM ln WHERE trim(line) <> ''
+          GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+        ), tagged AS (
+          SELECT ln.doc_id, ln.line_idx, ln.line,
+                 (b.line IS NOT NULL) AS is_boiler
+          FROM ln LEFT JOIN boiler b USING (line)
+        ), kept AS (
+          SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY line_idx) AS clean_text,
+                 count(*) AS n_kept
+          FROM tagged WHERE NOT is_boiler GROUP BY doc_id
+        ), removed AS (
+          SELECT doc_id, count(*) AS n_removed
+          FROM tagged WHERE is_boiler GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(k.clean_text, '') AS clean_text,
+               CAST(coalesce(k.n_kept, 0) AS INTEGER) AS n_lines_kept,
+               CAST(coalesce(r.n_removed, 0) AS INTEGER) AS n_lines_removed
+        FROM documents d
+        LEFT JOIN kept k USING (doc_id)
+        LEFT JOIN removed r USING (doc_id)
     """,
     "join_range_bucketed": """
         WITH iv AS (

@@ -177,3 +177,27 @@ def test_pack_budget_two_phase_matches_window_mode(spark):
             h.unpersist()
     with pytest.raises(ValueError, match="chunks"):
         sampling.pack_token_budget(docs, budget=40, chunks=0)
+
+
+def test_boilerplate_strip_linewise_dedup(spark):
+    """RefinedWeb-style line dedup: the shared footer (3 docs) is stripped,
+    doc-unique lines and blank lines survive in order, a fully-boilerplate
+    doc comes back empty but present."""
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nFOOTER\n\nalpha"),
+            (2, "unique two\nFOOTER"),
+            (3, "FOOTER"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           text_analysis.boilerplate_strip(docs, min_docs=3).collect()}
+    assert out[1]["clean_text"] == "unique one\n\nalpha"
+    assert (out[1]["n_lines_kept"], out[1]["n_lines_removed"]) == (3, 1)
+    assert out[2]["clean_text"] == "unique two"
+    assert out[3]["clean_text"] == "" and out[3]["n_lines_removed"] == 1
+    assert out[3]["n_lines_kept"] == 0
+    assert 4 in out  # null text: present, nothing kept or removed
+    assert (out[4]["n_lines_kept"], out[4]["n_lines_removed"]) == (0, 0)
