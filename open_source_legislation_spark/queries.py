@@ -1090,6 +1090,18 @@ def q_smp_pack_budget(spark, sf_dir):
     return sampling.pack_token_budget(_t(spark, sf_dir, "documents"), budget=512)
 
 
+def q_smp_pack_budget_sharded(spark, sf_dir):
+    """The TWO-PHASE parallel-prefix-sum packing mode (pack_token_budget
+    ``chunks=7``: range-partitioned contiguous runs, local offsets, tiny
+    per-run base-offset frame broadcast back) — output-identical to the
+    window mode by construction, so it shares smp_pack_budget's oracle
+    SQL verbatim and the driver hash-checks the chunking-invariance
+    claim itself."""
+    return sampling.pack_token_budget(
+        _t(spark, sf_dir, "documents"), budget=512, chunks=7
+    )
+
+
 def q_join_parent_exists(spark, sf_dir):
     """SURVEY §2.3 join_parent_exists — null-parent invariant
     (CLAUDE.md:443-446): rows with a null parent key must be zero."""
@@ -1813,6 +1825,7 @@ NEVER_DRIVER_VERIFIED: list[str] = [
     "mm_decode_real",  # new in r5: real BMP/WAV decode vs formula oracle
     "mm_resize_real",  # new in r5: resize over genuinely decoded pixels
     "ta_boilerplate",  # new in r5: cross-doc boilerplate line removal
+    "smp_pack_budget_sharded",  # new in r5: two-phase packing vs same oracle
 ]
 
 # Dict ORDER is part of the driver contract: the driver's correctness gate
@@ -1881,11 +1894,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     # -- r4-green queries whose operators this round's code touched --------
     "smp_stratified": q_smp_stratified,
-    "smp_pack_budget": q_smp_pack_budget,
+    "smp_pack_budget_sharded": q_smp_pack_budget_sharded,
     # -- rotated (position >50): r4-green driver rows stand as history -----
     # (the graph trio also took the lineage knob, but it auto-disables at
     # their registered iteration counts — plan unchanged — and the
     # iters=25 equivalence pytest covers the knob; the window holds 50.)
+    "smp_pack_budget": q_smp_pack_budget,
     "graph_pagerank": q_graph_pagerank,
     "graph_label_prop": q_graph_label_prop,
     "graph_bfs_khop": q_graph_bfs_khop,
@@ -3391,3 +3405,8 @@ ORACLE_SQL: dict[str, str] = {
         WHERE ld.d IS NOT NULL OR od.d IS NOT NULL
     """,
 }
+
+# The two-phase packing mode is output-identical to the window mode by
+# construction — it shares the oracle verbatim, so the driver's hash check
+# IS the chunking-invariance proof.
+ORACLE_SQL["smp_pack_budget_sharded"] = ORACLE_SQL["smp_pack_budget"]
