@@ -111,6 +111,9 @@ HEADLINE_CONTRACT = [
     # and the file://-work-list retry-fetch source
     "mm_decode_real",
     "src_fetch_retry",
+    # cross-document boilerplate line removal (explode -> line hash agg ->
+    # join back -> ordered reassembly)
+    "ta_boilerplate",
 ]
 
 
