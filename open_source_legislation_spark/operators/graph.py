@@ -13,10 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _persist_disk(df: DataFrame) -> DataFrame:
-    from pyspark import StorageLevel
-
-    return df.persist(StorageLevel.DISK_ONLY)
+from ._cache import persist_disk as _persist_disk
 
 
 def _truncate_lineage(df: DataFrame) -> DataFrame:
@@ -303,9 +300,7 @@ def triangle_counts(edges: DataFrame, cache_oriented: bool = True) -> DataFrame:
     )
     persists = []
     if cache_oriented:
-        from pyspark import StorageLevel
-
-        o = o.persist(StorageLevel.DISK_ONLY)
+        o = _persist_disk(o)
         persists.append(o)
     nodes = (
         o.select(F.col("x").alias("node"))
@@ -374,10 +369,10 @@ def label_propagation(
     if persist_every is not None:
         sym = _persist_disk(sym)
         persists.append(sym)
+    # nodes is NOT persisted: unlike pagerank_int (where it re-enters the
+    # plan every iteration) it has exactly one consumer — the initial
+    # labels seed — and it reads from the already-persisted sym anyway.
     nodes = sym.select(F.col("src").alias("node")).distinct()
-    if persist_every is not None:
-        nodes = _persist_disk(nodes)
-        persists.append(nodes)
     labels = nodes.withColumn("label", F.col("node"))
     for it in range(iters):
         nb = sym.join(

@@ -47,6 +47,22 @@ def _floor_bucket(c: Column, width: int) -> Column:
     return (multiple / b).cast("long")
 
 
+def _last_bucket_excl(c: Column, width: int) -> Column:
+    """Bucket index of the OPEN upper bound ``c`` of an interval
+    ``[lo, c)`` — i.e. the bucket containing ``sup [lo, c)``:
+    ``ceil(c / width) - 1``. The naive ``_floor_bucket(c - 1)`` is only
+    correct for INTEGRAL ``c``: a fractional upper bound like 16.5 with
+    width 16 must still cover bucket 1 (points in (16, 16.5) live
+    there), but ``floor((16.5 - 1)/16) = 0`` silently drops the last
+    bucket and with it every match inside it (the exact-predicate
+    recheck never sees the pair). Implemented as
+    ``-_floor_bucket(-c) - 1`` — ``ceil(x/n) == -floor(-x/n)`` and
+    ``ceil(x/n) == ceil(ceil(x)/n)`` for integer n — so it rides the
+    same exact int64/decimal path as :func:`_floor_bucket` (no double
+    division at nanosecond-epoch magnitudes)."""
+    return -_floor_bucket(-c, width) - 1
+
+
 def range_join_points(
     intervals: DataFrame,
     points: DataFrame,
@@ -93,7 +109,7 @@ def range_join_points(
         F.explode(
             F.sequence(
                 lo_bucket,
-                _floor_bucket(F.col(hi_col) - 1, bucket_width),
+                _last_bucket_excl(F.col(hi_col), bucket_width),
             )
         ),
     )
@@ -260,7 +276,7 @@ def interval_overlap_join(
             "_bucket",
             F.explode(
                 F.sequence(
-                    lo_bucket, _floor_bucket(F.col(hi) - 1, bucket_width)
+                    lo_bucket, _last_bucket_excl(F.col(hi), bucket_width)
                 )
             ),
         )

@@ -128,7 +128,7 @@ def pack_token_budget(
         return with_counts.select("doc_id", "source", "n_tokens", pack(offset))
     if chunks < 1:
         raise ValueError("pack_token_budget: chunks must be >= 1 or None")
-    from pyspark import StorageLevel
+    from ._cache import persist_disk
 
     # Both phases consume the SAME chunk assignment. repartitionByRange
     # derives boundaries by sampling, which is not guaranteed to repeat
@@ -138,8 +138,8 @@ def pack_token_budget(
     chunked = (
         with_counts.repartitionByRange(chunks, "source", "doc_id")
         .withColumn("_chunk", F.spark_partition_id())
-        .persist(StorageLevel.DISK_ONLY)
     )
+    chunked = persist_disk(chunked)
     w_local = (
         Window.partitionBy("_chunk", "source")
         .orderBy("doc_id")
@@ -198,28 +198,34 @@ def stratified_sample(
     (10k-deep trees stall Catalyst), so the rates become a broadcast
     ``(stratum, rate_bps)`` frame + ``coalesce(rate, default)`` — a
     broadcast hash join, still no corpus shuffle. Both paths compare
-    the stratum AS A STRING (dict keys via ``str()``, column via
-    ``cast('string')``) so they are semantically identical.
+    the stratum in its NATIVE type (the ``when`` chain via ``==`` on
+    the literal key, the join via an equality condition against a
+    schema-inferred key column), so an int/double stratum matches the
+    way plain Spark equality would — never through a string cast that
+    would silently turn ``2020.0 == 2020`` into ``'2020.0' != '2020'``.
+    Dict keys must therefore share one inferable type.
     """
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint")
         % 10000
     )
-    skey = F.col(stratum_col).cast("string")
     if len(rates_bps) <= when_chain_max:
         rate = F.lit(int(default_bps))
         for k, v in sorted(rates_bps.items()):
-            rate = F.when(skey == str(k), int(v)).otherwise(rate)
+            rate = F.when(F.col(stratum_col) == k, int(v)).otherwise(rate)
         tagged = docs.withColumn("_rate_bps", rate)
     else:
         rates = docs.sparkSession.createDataFrame(
-            [(str(k), int(v)) for k, v in sorted(rates_bps.items())],
-            "_stratum_key string, _rate_bps int",
+            [(k, int(v)) for k, v in sorted(rates_bps.items())],
+            ["_stratum_key", "_rate_bps"],
         )
         tagged = (
-            docs.withColumn("_stratum_key", skey)
-            .join(F.broadcast(rates), "_stratum_key", "left")
+            docs.join(
+                F.broadcast(rates),
+                F.col(stratum_col) == F.col("_stratum_key"),
+                "left",
+            )
             .withColumn(
                 "_rate_bps", F.coalesce("_rate_bps", F.lit(int(default_bps)))
             )

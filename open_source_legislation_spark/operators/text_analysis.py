@@ -241,11 +241,15 @@ def boilerplate_strip(
     and is stripped from every document; blank lines and document-unique
     lines survive in order.
 
-    Scale shape: one explode over the text → a (line → n_distinct_docs)
-    hash aggregate (partial-aggregated map-side; at corpus scale key the
-    exchange on ``md5(line)`` — same partitioning, 16-byte keys); the
-    boilerplate set is joined back with a PLAIN hash join, not a
-    broadcast — it is corpus-dependent and can be huge. Reassembly is an
+    Scale shape: the exploded line stream is evaluated exactly twice —
+    once into the (line → n_distinct_docs) boilerplate aggregate
+    (partial-aggregated map-side; at corpus scale key the exchange on
+    ``md5(line)`` — same partitioning, 16-byte keys) and once into the
+    tagged stream — and the kept/removed outputs come from ONE
+    conditional aggregate over the tagged stream (``collect_list`` skips
+    the NULL-ed boilerplate entries), not per-branch re-explodes. The
+    boilerplate set joins back with a PLAIN hash join, not a broadcast —
+    it is corpus-dependent and can be huge. Reassembly is an
     ``array_sort`` of (line_idx, line) structs per doc — no window, no
     reliance on ``collect_list`` ordering.
 
@@ -266,32 +270,32 @@ def boilerplate_strip(
         .filter(F.col("_ndocs") >= min_docs)
         .select("line", F.lit(True).alias("_boiler"))
     )
-    tagged = lines.join(boiler, "line", "left")
-    kept = (
-        tagged.filter(F.col("_boiler").isNull())
+    agg = (
+        lines.join(boiler, "line", "left")
         .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("line_idx", "line"))).alias("_ls"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_boiler").isNull(),
+                        F.struct("line_idx", "line"),
+                    )
+                )
+            ).alias("_ls"),
+            F.sum(
+                F.when(F.col("_boiler").isNotNull(), 1).otherwise(0)
+            ).alias("n_lines_removed"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
         .select(
             "doc_id",
             F.concat_ws(
                 line_sep, F.transform("_ls", lambda s: s["line"])
             ).alias("clean_text"),
-            F.size("_ls").alias("n_lines_kept"),
-        )
-    )
-    removed = (
-        tagged.filter(F.col("_boiler").isNotNull())
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_lines_removed"))
-    )
-    return (
-        docs.select("doc_id")
-        .join(kept, "doc_id", "left")
-        .join(removed, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_lines_kept", F.lit(0)).cast("int").alias("n_lines_kept"),
+            F.coalesce(F.size("_ls"), F.lit(0)).cast("int").alias("n_lines_kept"),
             F.coalesce("n_lines_removed", F.lit(0))
             .cast("int")
             .alias("n_lines_removed"),

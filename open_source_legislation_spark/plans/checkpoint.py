@@ -273,7 +273,7 @@ class CheckpointedRunner:
                             F.col("turn_idx").cast("string"),
                             F.lit("\x00nul:turn_idx"),
                         ),
-                        F.coalesce(F.col("text"), F.lit("")),
+                        F.coalesce(F.col("text"), F.lit("\x00nul:text")),
                     )
                 ).cast("decimal(38,0)")
             ).alias("h"),

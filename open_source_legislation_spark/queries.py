@@ -1470,25 +1470,48 @@ def ensure_fetch_fixture(sf_dir: str) -> str:
     ``doc_id % 3 == 0`` — deliberately missing so the retry/tag path has
     deterministic failures. File bytes are exactly the document's text
     (UTF-8), so the oracle can assert content straight from the parquet
-    without reading files. Idempotent via a _SUCCESS marker; concurrent
-    creators write identical bytes, so the race is benign."""
+    without reading files.
+
+    The _SUCCESS marker stores a CONTENT digest of the source parquet's
+    work-list slice: a regenerated documents.parquet (or a different
+    directory sharing the basename) invalidates the fixture and it is
+    rebuilt from scratch, instead of silently serving a stale corpus
+    that would red-flag the fetch operator. The parquet read is one
+    2-column scan of the gate table — cheap at contract scale.
+    Concurrent creators write identical bytes, so the race is benign."""
+    import hashlib
     import os
+    import shutil
 
     import pyarrow.parquet as pq
 
     d = _fetch_fixture_dir(sf_dir)
     marker = os.path.join(d, "_SUCCESS")
-    if os.path.exists(marker):
-        return d
-    os.makedirs(d, exist_ok=True)
     tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
-        if text is None or doc_id % 20 >= 5 or doc_id % 3 == 0:
+    rows = [
+        (doc_id, text)
+        for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+        if text is not None and doc_id % 20 < 5
+    ]
+    h = hashlib.md5()
+    for doc_id, text in rows:
+        h.update(f"{doc_id}\x1f".encode())
+        h.update(text.encode("utf-8"))
+        h.update(b"\x1e")
+    digest = h.hexdigest()
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == digest:
+                return d
+        shutil.rmtree(d, ignore_errors=True)  # stale corpus: rebuild
+    os.makedirs(d, exist_ok=True)
+    for doc_id, text in rows:
+        if doc_id % 3 == 0:
             continue
         with open(os.path.join(d, f"doc_{doc_id}.txt"), "wb") as f:
             f.write(text.encode("utf-8"))
-    with open(marker, "w"):
-        pass
+    with open(marker, "w") as f:
+        f.write(digest)
     return d
 
 

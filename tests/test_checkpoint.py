@@ -149,3 +149,19 @@ def test_fingerprint_distinguishes_which_key_column_is_null(spark):
     fb = CheckpointedRunner._input_fingerprint(b)
     assert fa["rows"] == fb["rows"] == 1
     assert fa["sum_crc32"] != fb["sum_crc32"]
+
+
+def test_fingerprint_distinguishes_null_text_from_empty(spark):
+    """The text column needs its own NULL sentinel too: coalescing to ''
+    made ('c', 1, NULL) and ('c', 1, '') fingerprint-identical, so a
+    resume could false-pass over input differing only there."""
+    a = spark.createDataFrame(
+        [("c", 1, None)], "conv_id string, turn_idx int, text string"
+    )
+    b = spark.createDataFrame(
+        [("c", 1, "")], "conv_id string, turn_idx int, text string"
+    )
+    fa = CheckpointedRunner._input_fingerprint(a)
+    fb = CheckpointedRunner._input_fingerprint(b)
+    assert fa["rows"] == fb["rows"] == 1
+    assert fa["sum_crc32"] != fb["sum_crc32"]

@@ -232,3 +232,28 @@ def test_fractional_coordinates_floor_not_truncate(spark):
     r = spark.createDataFrame([(9, -0.25, 0.25)], "rid long, rlo double, rhi double")
     got = rangejoin.interval_overlap_join(l, r, "llo", "lhi", "rlo", "rhi")
     assert {(x.lid, x.rid) for x in got.collect()} == {(1, 9)}
+
+
+def test_fractional_upper_bound_covers_last_bucket(spark):
+    """The review-round repro: hi in (k*B, k*B+1) must still explode
+    bucket k — _floor_bucket(hi - 1) lost it for fractional bounds and
+    silently dropped every match in the final bucket."""
+    iv = spark.createDataFrame([(1, 0.0, 16.5)], "iid long, lo double, hi double")
+    pt = spark.createDataFrame(
+        [(7, 7.0), (8, 16.25), (9, 16.5), (10, 16.75)], "pid long, x double"
+    )
+    out = rangejoin.range_join_points(iv, pt, bucket_width=16)
+    assert {(r.iid, r.pid) for r in out.collect()} == {(1, 7), (1, 8)}
+
+    l = spark.createDataFrame([(1, 0.0, 16.5)], "lid long, llo double, lhi double")
+    r = spark.createDataFrame(
+        [(9, 16.25, 17.0), (10, 16.5, 17.0)], "rid long, rlo double, rhi double"
+    )
+    got = rangejoin.interval_overlap_join(l, r, "llo", "lhi", "rlo", "rhi")
+    assert {(x.lid, x.rid) for x in got.collect()} == {(1, 9)}
+
+    # integral bounds unchanged: hi exactly on a bucket edge stops at k-1
+    iv2 = spark.createDataFrame([(2, 0, 32)], "iid long, lo long, hi long")
+    pt2 = spark.createDataFrame([(5, 31), (6, 32)], "pid long, x long")
+    out2 = rangejoin.range_join_points(iv2, pt2, bucket_width=16)
+    assert {(r.iid, r.pid) for r in out2.collect()} == {(2, 5)}

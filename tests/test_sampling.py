@@ -201,3 +201,28 @@ def test_boilerplate_strip_linewise_dedup(spark):
     assert out[3]["n_lines_kept"] == 0
     assert 4 in out  # null text: present, nothing kept or removed
     assert (out[4]["n_lines_kept"], out[4]["n_lines_removed"]) == (0, 0)
+
+
+def test_stratified_sample_native_typed_strata_both_paths(spark):
+    """Int-typed stratum column with int dict keys: both rate-lookup
+    paths match natively (a string-cast comparison would silently turn
+    a double column's 2020.0 == 2020 into a never-matching '2020.0')."""
+    docs = spark.createDataFrame(
+        [(i, 2020 + i % 3) for i in range(300)], "doc_id long, yr long"
+    )
+    rates = {2020: 10000, 2021: 0}
+    a = sampling.stratified_sample(docs, "yr", rates, default_bps=0)
+    b = sampling.stratified_sample(docs, "yr", rates, default_bps=0,
+                                   when_chain_max=0)
+    got = sorted(map(tuple, a.collect()))
+    assert got == sorted(map(tuple, b.collect()))
+    assert {yr for _, yr in got} == {2020}
+    assert len(got) == 100  # all of the 2020 stratum, none of 2021/2022
+
+    # double column, int keys: native equality still matches
+    ddocs = docs.select("doc_id", docs.yr.cast("double").alias("yr"))
+    da = sampling.stratified_sample(ddocs, "yr", rates, default_bps=0)
+    db = sampling.stratified_sample(ddocs, "yr", rates, default_bps=0,
+                                    when_chain_max=0)
+    assert sorted(map(tuple, da.collect())) == sorted(map(tuple, db.collect()))
+    assert {yr for _, yr in da.collect()} == {2020.0}
