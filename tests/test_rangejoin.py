@@ -257,3 +257,47 @@ def test_fractional_upper_bound_covers_last_bucket(spark):
     pt2 = spark.createDataFrame([(5, 31), (6, 32)], "pid long, x long")
     out2 = rangejoin.range_join_points(iv2, pt2, bucket_width=16)
     assert {(r.iid, r.pid) for r in out2.collect()} == {(2, 5)}
+
+
+def test_bucketed_joins_match_bruteforce_on_random_fractionals(spark):
+    """Seeded randomized brute-force: fractional lo/hi/x across many
+    bucket boundaries — the class of input where the integral-only upper
+    bucket silently dropped final-bucket matches."""
+    import itertools
+    import random
+
+    random.seed(11)
+    L = [(i, round(random.uniform(-40, 40), 2)) for i in range(30)]
+    L = [(i, lo, round(lo + random.uniform(0.01, 35), 2)) for i, lo in L]
+    R = [(i, round(random.uniform(-40, 40), 2)) for i in range(30)]
+    R = [(i, lo, round(lo + random.uniform(0.01, 35), 2)) for i, lo in R]
+    l = spark.createDataFrame(L, "lid long, llo double, lhi double")
+    r = spark.createDataFrame(R, "rid long, rlo double, rhi double")
+    got = {
+        (x.lid, x.rid)
+        for x in rangejoin.interval_overlap_join(
+            l, r, "llo", "lhi", "rlo", "rhi",
+            bucket_width=16, max_interval_width=64,
+        ).collect()
+    }
+    exp = {
+        (a, b)
+        for (a, alo, ahi), (b, blo, bhi) in itertools.product(L, R)
+        if alo < bhi and blo < ahi
+    }
+    assert got == exp
+
+    P = [(i, round(random.uniform(-45, 45), 2)) for i in range(100)]
+    p = spark.createDataFrame(P, "pid long, x double")
+    got2 = {
+        (x.lid, x.pid)
+        for x in rangejoin.range_join_points(
+            l, p, "llo", "lhi", "x", bucket_width=16, max_interval_width=64
+        ).collect()
+    }
+    exp2 = {
+        (a, i)
+        for (a, alo, ahi), (i, x) in itertools.product(L, P)
+        if alo <= x < ahi
+    }
+    assert got2 == exp2
