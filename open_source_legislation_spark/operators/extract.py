@@ -756,7 +756,7 @@ def derive_nodes_sharded(
     """
     import json
 
-    from pyspark import StorageLevel
+    from ._cache import persist_disk
 
     # ONE aggregation pass decides everything driver-side: which
     # conversations are oversized AND how many rounds their longest needs.
@@ -790,7 +790,7 @@ def derive_nodes_sharded(
         )
         # one materialization per round: the exit-state collect and the
         # final union must see the SAME pass (ids depend on walk state)
-        raw.persist(StorageLevel.DISK_ONLY)
+        persist_disk(raw)
         persisted.append(raw)
         exits = {
             r["conv_id"]: json.loads(r["clean_text"])

@@ -344,11 +344,12 @@ def label_propagation(
     ``max(struct(count, -label))`` so the pick is a second partial
     aggregate, NOT a sort window. Labels frame stays one row per node.
 
-    Lineage control (same contract as :func:`pagerank_int`): ``sym`` and
-    ``nodes`` are loop-invariant and persisted DISK_ONLY; the evolving
-    ``labels`` frame is lineage-truncated every ``persist_every``
-    iterations; handles handed over via ``_osl_persists``; ``None``
-    disables.
+    Lineage control (same contract as :func:`pagerank_int`, including
+    the short-loop auto-disable): ``sym`` is loop-invariant (probed
+    every iteration) and persisted DISK_ONLY — ``nodes`` is NOT, its
+    single consumer is the initial labels seed; the evolving ``labels``
+    frame is lineage-truncated every ``persist_every`` iterations;
+    handles handed over via ``_osl_persists``; ``None`` disables.
 
     Output: ``(node, label: bigint)`` after ``iters`` iterations.
     """

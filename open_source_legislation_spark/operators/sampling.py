@@ -198,28 +198,32 @@ def stratified_sample(
     (10k-deep trees stall Catalyst), so the rates become a broadcast
     ``(stratum, rate_bps)`` frame + ``coalesce(rate, default)`` — a
     broadcast hash join, still no corpus shuffle. Both paths compare
-    the stratum in its NATIVE type (the ``when`` chain via ``==`` on
-    the literal key, the join via an equality condition against a
-    schema-inferred key column), so an int/double stratum matches the
-    way plain Spark equality would — never through a string cast that
-    would silently turn ``2020.0 == 2020`` into ``'2020.0' != '2020'``.
-    Dict keys must therefore share one inferable type.
+    with the KEY cast to the stratum COLUMN's type: the corpus column is
+    never coerced (a string column with int dict keys compares as
+    strings — no ANSI CAST_INVALID_INPUT crash on a value like
+    'unknown', and no silent '02020' == 2020 numeric coercion), while a
+    numeric column matches numeric keys natively (``2020.0 == 2020``).
+    A dict key that cannot cast to the column's type fails loudly at
+    the first evaluation — a mixture-config error, not a data error.
     """
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint")
         % 10000
     )
+    stratum_dt = docs.schema[stratum_col].dataType
     if len(rates_bps) <= when_chain_max:
         rate = F.lit(int(default_bps))
         for k, v in sorted(rates_bps.items()):
-            rate = F.when(F.col(stratum_col) == k, int(v)).otherwise(rate)
+            rate = F.when(
+                F.col(stratum_col) == F.lit(k).cast(stratum_dt), int(v)
+            ).otherwise(rate)
         tagged = docs.withColumn("_rate_bps", rate)
     else:
         rates = docs.sparkSession.createDataFrame(
             [(k, int(v)) for k, v in sorted(rates_bps.items())],
             ["_stratum_key", "_rate_bps"],
-        )
+        ).withColumn("_stratum_key", F.col("_stratum_key").cast(stratum_dt))
         tagged = (
             docs.join(
                 F.broadcast(rates),

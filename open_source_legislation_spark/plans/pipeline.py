@@ -391,9 +391,9 @@ def run_pipeline(
         # derive stage and competes with execution memory, while a
         # disk-cached intermediate consumed within the same job rides the
         # OS page cache.
-        from pyspark import StorageLevel
+        from ..operators._cache import persist_disk
 
-        derived = derived.persist(StorageLevel.DISK_ONLY)
+        derived = persist_disk(derived)
 
     # ---- lazy plans (built on first PipelineResult access) --------------
     # Every output's logical plan is constructed on demand: driver-side

@@ -1452,16 +1452,23 @@ def q_sim_ivf_build(spark, sf_dir):
     return assigned.groupBy("cell").agg(F.count("*").alias("n_vecs")).orderBy("cell")
 
 
-def _fetch_fixture_dir(sf_dir: str) -> str:
+def _fetch_fixture_dir(sf_dir: str, digest: str) -> str:
     """Deterministic on-disk fixture location for ``src_fetch_retry``,
-    keyed by sf name so every scale gets its own file set. Shared between
-    the Spark query and the DuckDB oracle — both must see the same files,
-    so this is a stable path, not a per-run tmpdir."""
+    keyed by sf name AND a content digest of the source slice: the path
+    is a pure function of the corpus contents, so a regenerated parquet
+    lands in a fresh directory (stale dirs just linger — one per corpus
+    version, a few hundred small files) and concurrent creators write
+    identical bytes into the same digest-dir — a benign race with no
+    delete anywhere. Shared between the Spark query and the DuckDB
+    oracle — both must see the same files, so this is a stable path,
+    not a per-run tmpdir."""
     import os
 
     name = os.path.basename(sf_dir.rstrip("/")) or "sf"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    return os.path.join(repo, "BENCH", "data", f"fetch_fixture_{name}")
+    return os.path.join(
+        repo, "BENCH", "data", f"fetch_fixture_{name}_{digest[:12]}"
+    )
 
 
 def ensure_fetch_fixture(sf_dir: str) -> str:
@@ -1472,21 +1479,18 @@ def ensure_fetch_fixture(sf_dir: str) -> str:
     (UTF-8), so the oracle can assert content straight from the parquet
     without reading files.
 
-    The _SUCCESS marker stores a CONTENT digest of the source parquet's
-    work-list slice: a regenerated documents.parquet (or a different
-    directory sharing the basename) invalidates the fixture and it is
-    rebuilt from scratch, instead of silently serving a stale corpus
-    that would red-flag the fetch operator. The parquet read is one
-    2-column scan of the gate table — cheap at contract scale.
-    Concurrent creators write identical bytes, so the race is benign."""
+    The fixture DIRECTORY is keyed by a content digest of the source
+    parquet's work-list slice (see :func:`_fetch_fixture_dir`): a
+    regenerated documents.parquet resolves to a fresh directory instead
+    of silently serving a stale corpus that would red-flag the fetch
+    operator, and no delete/rebuild race exists — concurrent creators
+    of the same digest write identical bytes. The parquet read is one
+    2-column scan of the gate table — cheap at contract scale."""
     import hashlib
     import os
-    import shutil
 
     import pyarrow.parquet as pq
 
-    d = _fetch_fixture_dir(sf_dir)
-    marker = os.path.join(d, "_SUCCESS")
     tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     rows = [
         (doc_id, text)
@@ -1498,20 +1502,18 @@ def ensure_fetch_fixture(sf_dir: str) -> str:
         h.update(f"{doc_id}\x1f".encode())
         h.update(text.encode("utf-8"))
         h.update(b"\x1e")
-    digest = h.hexdigest()
+    d = _fetch_fixture_dir(sf_dir, h.hexdigest())
+    marker = os.path.join(d, "_SUCCESS")
     if os.path.exists(marker):
-        with open(marker) as f:
-            if f.read().strip() == digest:
-                return d
-        shutil.rmtree(d, ignore_errors=True)  # stale corpus: rebuild
+        return d
     os.makedirs(d, exist_ok=True)
     for doc_id, text in rows:
         if doc_id % 3 == 0:
             continue
         with open(os.path.join(d, f"doc_{doc_id}.txt"), "wb") as f:
             f.write(text.encode("utf-8"))
-    with open(marker, "w") as f:
-        f.write(digest)
+    with open(marker, "w"):
+        pass
     return d
 
 

@@ -226,3 +226,19 @@ def test_stratified_sample_native_typed_strata_both_paths(spark):
                                     when_chain_max=0)
     assert sorted(map(tuple, da.collect())) == sorted(map(tuple, db.collect()))
     assert {yr for _, yr in da.collect()} == {2020.0}
+
+
+def test_stratified_sample_string_column_int_keys_no_crash(spark):
+    """String stratum column + int dict keys: the KEY casts to the
+    COLUMN's type, so a non-numeric stratum value ('unknown') never hits
+    an ANSI CAST_INVALID_INPUT, and '02020' does NOT numerically coerce
+    into key 2020 — string semantics stay string."""
+    docs = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(["2020", "unknown", "02020", "2020"])],
+        "doc_id long, yr string",
+    )
+    for wcm in (16, 0):  # when-chain and broadcast paths
+        out = sampling.stratified_sample(
+            docs, "yr", {2020: 10000}, default_bps=0, when_chain_max=wcm
+        )
+        assert {r.yr for r in out.collect()} == {"2020"}
