@@ -323,6 +323,10 @@ and that fraction swings 30-50% minute-to-minute:
 Hardware ceiling efficiency this run = {r["hw_ceiling_efficiency"]};
 job normalized against it = {r["supp_normalized_efficiency"]}.
 
+Cross-session history (this file is rewritten per run):
+`BENCH/SCALING_HISTORY.md`. Controlled engine-vs-engine A/Bs:
+`BENCH/AB_r3_r4.md`, `BENCH/AB_r4_r5.md`.
+
 ## Context
 
 Reference baseline (`BASELINE.md`): the reference is a single-process
