@@ -1440,6 +1440,57 @@ def q_stream_window_agg(spark, sf_dir):
     return spark.table(sink)
 
 
+def q_stream_dedup(spark, sf_dir):
+    """SURVEY §2.11 — watermarked STREAMING dedup: exactly-once landing
+    of an at-least-once feed (the ingestion-side analog of the batch
+    dedup family). The source directory carries the events table THREE
+    times; ``dropDuplicates`` over all columns under a 1-hour watermark
+    collapses the replays with bounded state (closed-watermark state is
+    evicted — dropping a late copy IS the dedup), run to completion via
+    ``Trigger.AvailableNow``. Duplicate rows are byte-identical, so the
+    kept row is deterministic and the oracle is the per-type aggregate
+    of SELECT DISTINCT. A failed dedup is unmissable: every count
+    triples."""
+    import os
+    import shutil
+    import uuid
+
+    run_root = _run_tmpdir("oslspark_sdedup_")
+    src_dir = f"{run_root}/events"
+    os.makedirs(src_dir)
+    for i in range(3):
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/copy_{i}.parquet")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(src_dir)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(
+        ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sink = f"oslspark_sdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{run_root}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_dedup: AvailableNow run exceeded 300 s")
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")) * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+
+
 def q_sim_ivf_build(spark, sf_dir):
     """IVF index BUILD (deterministic Lloyd k-means, similarity.ivf_build)
     — cell-size histogram of the built index. The oracle replicates the
@@ -1851,6 +1902,7 @@ NEVER_DRIVER_VERIFIED: list[str] = [
     "mm_resize_real",  # new in r5: resize over genuinely decoded pixels
     "ta_boilerplate",  # new in r5: cross-doc boilerplate line removal
     "smp_pack_budget_sharded",  # new in r5: two-phase packing vs same oracle
+    "stream_dedup",  # new in r5: watermarked streaming dedup (3x replay)
 ]
 
 # Dict ORDER is part of the driver contract: the driver's correctness gate
@@ -1870,6 +1922,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_decode_real": q_mm_decode_real,
     "mm_resize_real": q_mm_resize_real,
     "ta_boilerplate": q_ta_boilerplate,
+    "stream_dedup": q_stream_dedup,
     # -- stalest green first (latest row r1/r2): refresh before history ----
     # -- ages past two rounds ----------------------------------------------
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1888,7 +1941,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_children_collect": q_agg_children_collect,
     "agg_text_concat": q_agg_text_concat,
     "sort_topk": q_sort_topk,
-    "set_except": q_set_except,
     "prj_text_clean": q_prj_text_clean,
     "flt_status_classify": q_flt_status_classify,
     "id_algebra": q_id_algebra,
@@ -1921,6 +1973,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "smp_stratified": q_smp_stratified,
     "smp_pack_budget_sharded": q_smp_pack_budget_sharded,
     # -- rotated (position >50): r4-green driver rows stand as history -----
+    # (set_except yields its refresh slot to the new stream_dedup row; its
+    # r1/r2 greens + the EXCEPT pytest stand.)
+    "set_except": q_set_except,
     # (the graph trio also took the lineage knob, but it auto-disables at
     # their registered iteration counts — plan unchanged — and the
     # iters=25 equivalence pytest covers the knob; the window holds 50.)
@@ -3346,6 +3401,13 @@ ORACLE_SQL: dict[str, str] = {
         SELECT wstart, event_type, n_events, cents
         FROM agg
         WHERE wstart + INTERVAL 1 DAY <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+    "stream_dedup": """
+        WITH d AS (SELECT DISTINCT * FROM events)
+        SELECT event_type, count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))) * 100, 0) AS BIGINT)
+                 AS cents
+        FROM d GROUP BY event_type
     """,
     "smp_pack_budget": """
         WITH t AS (
