@@ -174,6 +174,34 @@ def pack_token_budget(
     return out
 
 
+def _normalize_stratum_key(k, dt, col_name: str):
+    """Convert a ``rates_bps`` dict key to the stratum column's Python
+    type, LOSSLESSLY or not at all: narrowing (2020.5 → int 2020) would
+    silently re-rate the wrong stratum, so it raises instead."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        if isinstance(k, bool) or not (
+            isinstance(k, int)
+            or (isinstance(k, float) and k.is_integer())
+        ):
+            raise ValueError(
+                f"stratified_sample: key {k!r} does not convert losslessly "
+                f"to integer column '{col_name}' ({dt})"
+            )
+        return int(k)
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        if isinstance(k, bool) or not isinstance(k, (int, float)):
+            raise ValueError(
+                f"stratified_sample: key {k!r} is not numeric for column "
+                f"'{col_name}' ({dt})"
+            )
+        return float(k)
+    if isinstance(dt, T.StringType):
+        return str(k)
+    return k  # other types (date, decimal, ...): pass through as given
+
+
 def stratified_sample(
     docs: DataFrame,
     stratum_col: str,
@@ -198,13 +226,17 @@ def stratified_sample(
     (10k-deep trees stall Catalyst), so the rates become a broadcast
     ``(stratum, rate_bps)`` frame + ``coalesce(rate, default)`` — a
     broadcast hash join, still no corpus shuffle. Both paths compare
-    with the KEY cast to the stratum COLUMN's type: the corpus column is
-    never coerced (a string column with int dict keys compares as
-    strings — no ANSI CAST_INVALID_INPUT crash on a value like
-    'unknown', and no silent '02020' == 2020 numeric coercion), while a
-    numeric column matches numeric keys natively (``2020.0 == 2020``).
-    A dict key that cannot cast to the column's type fails loudly at
-    the first evaluation — a mixture-config error, not a data error.
+    with the KEY normalized DRIVER-SIDE to the stratum COLUMN's type:
+    the corpus column is never coerced (a string column with int dict
+    keys compares as strings — no ANSI CAST_INVALID_INPUT crash on a
+    value like 'unknown', and no silent '02020' == 2020 numeric
+    coercion), while a numeric column matches numeric keys natively
+    (``2020.0 == 2020``). Normalization is LOSSLESS-or-raise: a key
+    that would narrow (2020.5 against an int column — Spark's CAST
+    silently truncates to 2020) or that collides with another key after
+    normalization (which would fan out the broadcast join and duplicate
+    corpus rows) raises ValueError — a mixture-config error surfaces at
+    build time, never as a silently wrong sample.
     """
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -212,17 +244,24 @@ def stratified_sample(
         % 10000
     )
     stratum_dt = docs.schema[stratum_col].dataType
-    if len(rates_bps) <= when_chain_max:
+    norm = {
+        _normalize_stratum_key(k, stratum_dt, stratum_col): int(v)
+        for k, v in rates_bps.items()
+    }
+    if len(norm) != len(rates_bps):
+        raise ValueError(
+            f"stratified_sample: distinct rates_bps keys collide after "
+            f"normalization to column '{stratum_col}' type {stratum_dt} — "
+            f"a colliding key would duplicate corpus rows"
+        )
+    if len(norm) <= when_chain_max:
         rate = F.lit(int(default_bps))
-        for k, v in sorted(rates_bps.items()):
-            rate = F.when(
-                F.col(stratum_col) == F.lit(k).cast(stratum_dt), int(v)
-            ).otherwise(rate)
+        for k, v in sorted(norm.items()):
+            rate = F.when(F.col(stratum_col) == F.lit(k), v).otherwise(rate)
         tagged = docs.withColumn("_rate_bps", rate)
     else:
         rates = docs.sparkSession.createDataFrame(
-            [(k, int(v)) for k, v in sorted(rates_bps.items())],
-            ["_stratum_key", "_rate_bps"],
+            sorted(norm.items()), ["_stratum_key", "_rate_bps"]
         ).withColumn("_stratum_key", F.col("_stratum_key").cast(stratum_dt))
         tagged = (
             docs.join(

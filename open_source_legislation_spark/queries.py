@@ -1345,6 +1345,51 @@ def q_agg_grouping_sets(spark, sf_dir):
     )
 
 
+_EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_stream(spark, sf_dir, prefix: str, n_copies: int = 1):
+    """Per-run file-source stream of the events table (replicated
+    ``n_copies`` times to simulate an at-least-once feed) and its run
+    root. Per-run temp root: two concurrent contract/bench runs on the
+    same host must not clobber each other's inputs, checkpoints, or
+    sink tables (round-2 advice)."""
+    import os
+    import shutil
+
+    run_root = _run_tmpdir(prefix)
+    src_dir = f"{run_root}/events"
+    os.makedirs(src_dir)
+    for i in range(n_copies):
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/copy_{i}.parquet")
+    return spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(src_dir), run_root
+
+
+def _run_to_memory_sink(spark, df, prefix: str, run_root: str, timeout_s=300):
+    """Run a streaming frame to completion (``Trigger.AvailableNow``,
+    append mode) into a uniquely-named memory sink; return the batch
+    table. The ONE streaming-harness definition shared by every
+    stream_* contract query."""
+    import uuid
+
+    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{run_root}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"{prefix}: AvailableNow run exceeded {timeout_s} s")
+    return spark.table(sink)
+
+
 def q_stream_sessionize(spark, sf_dir):
     """SURVEY §2.11 custom stateful streaming — applyInPandasWithState
     sessionization (streaming/stateful.py) run to completion with
@@ -1353,43 +1398,12 @@ def q_stream_sessionize(spark, sf_dir):
     the global max event time, so every session whose end + gap falls
     strictly before that watermark emits (in-data-closed or timed out);
     the oracle reproduces exactly that cutoff."""
-    import shutil
-    import uuid
-
     from .streaming.stateful import sessionize_stream
 
-    # per-run temp root + unique memory-sink name: two concurrent contract/
-    # bench runs on the same host must not clobber each other's inputs,
-    # checkpoints, or sink tables (round-2 advice)
-    run_root = _run_tmpdir("oslspark_stream_")
-    src_dir = f"{run_root}/events"
-    import os
-
-    os.makedirs(src_dir)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .parquet(src_dir)
-        .withColumn("user_id", F.col("user_id").cast("string"))
-    )
+    stream, run_root = _events_stream(spark, sf_dir, "oslspark_stream_")
+    stream = stream.withColumn("user_id", F.col("user_id").cast("string"))
     sessions = sessionize_stream(stream, gap_seconds=3600)
-    sink = f"oslspark_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", f"{run_root}/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("stream_sessionize: AvailableNow run exceeded 300 s")
-    out = spark.table(sink)
+    out = _run_to_memory_sink(spark, sessions, "oslspark_sessions", run_root)
     # float-free hashed payload (same driver-normalization fix as
     # window_session): the sequential float64 state sum on 2-dp inputs is
     # within ~1e-9 of the exact cents integer, so nearest-integer rounding
@@ -1410,34 +1424,11 @@ def q_stream_window_agg(spark, sf_dir):
     append mode. Append emits exactly the windows whose END the final
     watermark (max event ts − 1 hour) has passed; the oracle reproduces
     that cutoff. Sums are decimal integer cents — float-free payload."""
-    import os
-    import shutil
-    import uuid
-
     from .streaming.incremental import tumbling_window_agg
 
-    run_root = _run_tmpdir("oslspark_twagg_")
-    src_dir = f"{run_root}/events"
-    os.makedirs(src_dir)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    stream = spark.readStream.schema(
-        "event_id long, ts timestamp, user_id long, event_type string, "
-        "value double, props string"
-    ).parquet(src_dir)
+    stream, run_root = _events_stream(spark, sf_dir, "oslspark_twagg_")
     agg = tumbling_window_agg(stream, window="1 day", watermark="1 hour")
-    sink = f"oslspark_twagg_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", f"{run_root}/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("stream_window_agg: AvailableNow run exceeded 300 s")
-    return spark.table(sink)
+    return _run_to_memory_sink(spark, agg, "oslspark_twagg", run_root)
 
 
 def q_stream_dedup(spark, sf_dir):
@@ -1451,36 +1442,12 @@ def q_stream_dedup(spark, sf_dir):
     kept row is deterministic and the oracle is the per-type aggregate
     of SELECT DISTINCT. A failed dedup is unmissable: every count
     triples."""
-    import os
-    import shutil
-    import uuid
+    from .streaming.incremental import dedup_stream
 
-    run_root = _run_tmpdir("oslspark_sdedup_")
-    src_dir = f"{run_root}/events"
-    os.makedirs(src_dir)
-    for i in range(3):
-        shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/copy_{i}.parquet")
-    stream = spark.readStream.schema(
-        "event_id long, ts timestamp, user_id long, event_type string, "
-        "value double, props string"
-    ).parquet(src_dir)
-    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(
-        ["event_id", "ts", "user_id", "event_type", "value", "props"]
-    )
-    sink = f"oslspark_sdedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", f"{run_root}/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("stream_dedup: AvailableNow run exceeded 300 s")
+    stream, run_root = _events_stream(spark, sf_dir, "oslspark_sdedup_", n_copies=3)
+    deduped = dedup_stream(stream, watermark="1 hour")
     return (
-        spark.table(sink)
+        _run_to_memory_sink(spark, deduped, "oslspark_sdedup", run_root)
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -1534,11 +1501,16 @@ def ensure_fetch_fixture(sf_dir: str) -> str:
     parquet's work-list slice (see :func:`_fetch_fixture_dir`): a
     regenerated documents.parquet resolves to a fresh directory instead
     of silently serving a stale corpus that would red-flag the fetch
-    operator, and no delete/rebuild race exists — concurrent creators
-    of the same digest write identical bytes. The parquet read is one
-    2-column scan of the gate table — cheap at contract scale."""
+    operator. Publication is ATOMIC: each creator builds under its own
+    temp sibling and ``os.rename``-s the whole directory into place —
+    never a truncate-rewrite of a file a concurrent run's executors may
+    already be reading; the creator that loses the rename race discards
+    its temp build. The parquet read is one 2-column scan of the gate
+    table — cheap at contract scale."""
     import hashlib
     import os
+    import shutil
+    import uuid
 
     import pyarrow.parquet as pq
 
@@ -1554,17 +1526,21 @@ def ensure_fetch_fixture(sf_dir: str) -> str:
         h.update(text.encode("utf-8"))
         h.update(b"\x1e")
     d = _fetch_fixture_dir(sf_dir, h.hexdigest())
-    marker = os.path.join(d, "_SUCCESS")
-    if os.path.exists(marker):
+    if os.path.exists(os.path.join(d, "_SUCCESS")):
         return d
-    os.makedirs(d, exist_ok=True)
+    tmp = f"{d}.build-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp)
     for doc_id, text in rows:
         if doc_id % 3 == 0:
             continue
-        with open(os.path.join(d, f"doc_{doc_id}.txt"), "wb") as f:
+        with open(os.path.join(tmp, f"doc_{doc_id}.txt"), "wb") as f:
             f.write(text.encode("utf-8"))
-    with open(marker, "w"):
+    with open(os.path.join(tmp, "_SUCCESS"), "w"):
         pass
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race: theirs is ours
     return d
 
 
@@ -1910,12 +1886,15 @@ NEVER_DRIVER_VERIFIED: list[str] = [
 # tests/test_contract_registry.py):
 #   1. PRIORITY block — queries with no green driver row yet come first;
 #   2. STALEST-GREEN blocks — queries whose latest green driver row is
-#      oldest (r1/r2, then r3) fill the window, so no query's most recent
-#      verification ages past two rounds;
+#      oldest (r1/r2, then r3) fill the window, so most-recent
+#      verification ages stay bounded. Exception: a stale-green query may
+#      yield its refresh slot to a brand-new contract row when its
+#      semantics are trivial and pytest-pinned (set_except did, for
+#      stream_dedup — its r1/r2 greens + the EXCEPT pytest stand);
 #   3. TOUCHED block — r4-green queries whose operators changed this round
 #      (sampling rewrite, graph lineage knob) re-earn a fresh row;
-#   4. ROTATED block (position >50) — recently-green queries whose r4
-#      driver rows stand as history.
+#   4. ROTATED block (position >50) — queries whose standing driver rows
+#      (r4 for most, r1/r2 for the noted exception) are their history.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- priority: no green driver row yet (driver checks first 50 only) ---
     "src_fetch_retry": q_src_fetch_retry,

@@ -242,3 +242,22 @@ def test_stratified_sample_string_column_int_keys_no_crash(spark):
             docs, "yr", {2020: 10000}, default_bps=0, when_chain_max=wcm
         )
         assert {r.yr for r in out.collect()} == {"2020"}
+
+
+def test_stratified_sample_rejects_lossy_and_colliding_keys(spark):
+    """A fractional key against an int column would silently truncate to
+    the wrong stratum (Spark CAST truncates, no error), and two keys
+    colliding after normalization would fan out the broadcast join and
+    duplicate corpus rows — both must raise at build time."""
+    docs = spark.createDataFrame([(1, 2020)], "doc_id long, yr long")
+    with pytest.raises(ValueError, match="losslessly"):
+        sampling.stratified_sample(docs, "yr", {2020.5: 10000})
+    sdocs = spark.createDataFrame([(1, "2020")], "doc_id long, yr string")
+    with pytest.raises(ValueError, match="collide"):
+        sampling.stratified_sample(sdocs, "yr", {2020: 10000, "2020": 5000})
+    # lossless float keys are fine, both paths
+    for wcm in (16, 0):
+        out = sampling.stratified_sample(
+            docs, "yr", {2020.0: 10000}, when_chain_max=wcm
+        )
+        assert out.count() == 1
