@@ -25,6 +25,7 @@ SF_DIR = "/root/testdata/sf0.001"
 _SIDE_EFFECTING = {
     "stream_sessionize",
     "stream_window_agg",
+    "stream_dedup",
     "snk_parquet_roundtrip",
     "snk_upsert_merge",
     "snk_snapshot_travel",
